@@ -1,0 +1,88 @@
+"""Headline benchmark: rays/s/chip at 1024², forward+backward.
+
+Matches BASELINE.json's metric: differentiable render (forward + gradient
+w.r.t. voxel densities/albedos) of 1024x1024 primary rays against a 256-class
+world on one chip. vs_baseline is measured against the 5e8 rays/s/chip target
+(the reference itself publishes no numbers; its implied desktop-GPU throughput
+is ~1.25e8 primary rays/s — see BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_test_tpu.config import RenderConfig, WorldConfig
+    from raytracing_test_tpu.core import flatten
+    from raytracing_test_tpu.render import diff, renderer
+    from raytracing_test_tpu.render.camera import Camera, ray_directions
+    from raytracing_test_tpu.worldgen import terrain
+
+    wcfg = WorldConfig()  # the reference 200x200 world in a 256x128x256 window
+    grid, pal = terrain.gen_world_grid(wcfg)
+    scene = flatten.scene_from_grid(grid, pal)
+    albedo, flags, _ = flatten.palette_arrays(pal)
+    dscene = diff.diff_scene_from_grid(grid, albedo, solid_density=50.0)
+
+    H = W = 1024
+    NUM_STEPS = 160
+    cam = Camera(
+        pos=jnp.asarray([100.0, 60.0, 40.0], jnp.float32),
+        dir=jnp.asarray([0.55, -0.4, 0.55], jnp.float32),
+    )
+    dirs = ray_directions(cam, W, H)
+
+    def loss(ds, pos, d):
+        rgb = diff.render_rays_diff(ds, pos, d, num_steps=NUM_STEPS, sky=False)
+        return jnp.mean(rgb)
+
+    fwd_bwd = jax.jit(jax.grad(loss))
+    # NOTE: inputs must differ per call — the axon backend memoizes executions
+    # with identical argument buffers, which silently turns repeats into cache
+    # hits and inflates throughput ~1000x.
+    iters = 3
+    dirs_v = [dirs * (1.0 + 1e-6 * k) for k in range(iters + 1)]
+    g = fwd_bwd(dscene, cam.pos, dirs_v[-1])  # warmup/compile
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for k in range(iters):
+        g = fwd_bwd(dscene, cam.pos, dirs_v[k])
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+    rays_fb = H * W / dt
+
+    # secondary: hard forward renderer (full materials/shadows)
+    rcfg = RenderConfig(width=W, height=H)
+    fwd = jax.jit(lambda s, p, d: renderer.render_rays(s, p, d, rcfg)[0])
+    img = fwd(scene, cam.pos, dirs_v[-1])
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for k in range(iters):
+        img = fwd(scene, cam.pos, dirs_v[k])
+    jax.block_until_ready(img)
+    dt_f = (time.perf_counter() - t0) / iters
+    rays_f = H * W / dt_f
+
+    target = 5e8
+    print(
+        json.dumps(
+            {
+                "metric": "rays/s/chip, 1024^2 forward+backward (diff render, "
+                f"{NUM_STEPS} steps); fwd-only full-feature: {rays_f:.3e}",
+                "value": rays_fb,
+                "unit": "rays/s",
+                "vs_baseline": rays_fb / target,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -420,6 +420,16 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig):
     return img
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _render_jit_for(cfg: RenderConfig):
+    # cached per-config so repeated calls reuse the compiled executable
+    # (a fresh lambda per call would recompile every frame)
+    return jax.jit(lambda sc, cam: render_image(sc, cam, cfg))
+
+
 def render_jit(scene: Scene, camera: Camera, cfg: RenderConfig):
-    """Jitted full-frame render (cfg is static via closure)."""
-    return jax.jit(lambda sc, cam: render_image(sc, cam, cfg))(scene, camera)
+    """Jitted full-frame render (cfg is static via the compile cache)."""
+    return _render_jit_for(cfg)(scene, camera)

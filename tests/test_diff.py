@@ -1,0 +1,146 @@
+"""Differentiable volumetric renderer: hard-limit parity + gradient checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracing_test_tpu.config import RenderConfig
+from raytracing_test_tpu.core import flatten
+from raytracing_test_tpu.core.color import rgb_to_u64
+from raytracing_test_tpu.core.tree import Palette
+from raytracing_test_tpu.core.types import Block
+from raytracing_test_tpu.render import diff, renderer
+from raytracing_test_tpu.render.camera import Camera, ray_directions
+
+
+def _simple_world():
+    pal = Palette()
+    red = pal.id_for(Block(0, int(rgb_to_u64(200, 30, 30))))
+    green = pal.id_for(Block(0, int(rgb_to_u64(30, 200, 30))))
+    grid = np.zeros((32, 32, 32), np.uint8)
+    grid[:, 0:8, :] = red
+    grid[10:14, 8:12, 10:14] = green
+    return grid, pal
+
+
+def test_hard_limit_matches_first_hit_albedo():
+    """With solid densities -> inf, the volumetric render equals the hard
+    renderer's unshaded first-hit albedo (and skybox where no hit)."""
+    grid, pal = _simple_world()
+    scene = flatten.scene_from_grid(grid, pal)
+    albedo, flags, _ = flatten.palette_arrays(pal)
+    dscene = diff.diff_scene_from_grid(grid, albedo, solid_density=1e6)
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    rcfg = RenderConfig(width=16, height=16)
+    dirs = ray_directions(cam, 16, 16)
+    vol = np.asarray(
+        jax.jit(lambda s, p, d: diff.render_rays_diff(s, p, d, num_steps=96))(
+            dscene, cam.pos, dirs
+        )
+    )
+    col, aux = jax.jit(
+        lambda s, p, d: renderer.render_rays(s, p, d, rcfg)
+    )(scene, cam.pos, dirs)
+    hit = np.asarray(aux["hit"])
+    mat = np.asarray(aux["mat"])
+    expect = albedo[mat]
+    np.testing.assert_allclose(vol[hit], expect[hit], atol=1e-4)
+    # sky rays match the skybox through full transmittance
+    sun = np.asarray(rcfg.sun_dir, np.float32)
+    sun /= np.linalg.norm(sun)
+    sky = np.asarray(renderer.skybox(jnp.asarray(dirs), jnp.asarray(sun)))
+    np.testing.assert_allclose(vol[~hit], sky[~hit], atol=1e-4)
+
+
+def _loss(dscene, origins, dirs, target):
+    rgb = diff.render_rays_diff(dscene, origins, dirs, num_steps=48, sky=False)
+    return jnp.mean((rgb - target) ** 2)
+
+
+def test_density_gradient_matches_finite_differences():
+    grid, pal = _simple_world()
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 2.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(8, 3)).astype(np.float32)
+    dirs[:, 1] = -np.abs(dirs[:, 1])  # look down at the slab
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = np.full((8, 3), 16.0, np.float32) + rng.normal(0, 2, (8, 3)).astype(np.float32)
+    target = jnp.zeros((8, 3), jnp.float32)
+
+    gfn = jax.jit(jax.grad(lambda s: _loss(s, origins, dirs, target)))
+    g = gfn(dscene)
+    gd = np.asarray(g.density)
+    # probe the largest-gradient voxels with central differences
+    flat = np.argsort(-np.abs(gd).ravel())[:5]
+    f = jax.jit(lambda s: _loss(s, origins, dirs, target))
+    eps = 1e-3
+    for idx in flat:
+        x, y, z = np.unravel_index(idx, gd.shape)
+        d0 = np.asarray(dscene.density).copy()
+        d0[x, y, z] += eps
+        fp = float(f(dscene._replace(density=jnp.asarray(d0))))
+        d0[x, y, z] -= 2 * eps
+        fm = float(f(dscene._replace(density=jnp.asarray(d0))))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - gd[x, y, z]) < 5e-3 * max(1.0, abs(fd)), (
+            (x, y, z), fd, gd[x, y, z]
+        )
+
+
+def test_albedo_and_camera_gradients_flow():
+    grid, pal = _simple_world()
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 3.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    cam = Camera(
+        pos=jnp.asarray([16.0, 16.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.7, 0.4], jnp.float32),
+    )
+
+    def loss(scene, cam):
+        dirs = ray_directions(cam, 8, 8)
+        rgb = diff.render_rays_diff(scene, cam.pos, dirs, num_steps=48, sky=False)
+        return jnp.mean(rgb)
+
+    gs, gc = jax.jit(jax.grad(loss, argnums=(0, 1)))(dscene, cam)
+    assert float(jnp.abs(gs.albedo).sum()) > 0
+    assert np.all(np.isfinite(np.asarray(gc.pos)))
+    assert float(jnp.abs(gc.pos).sum()) > 0
+    assert float(jnp.abs(gc.dir).sum()) > 0
+
+
+def test_camera_pos_gradient_finite_difference():
+    grid, pal = _simple_world()
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 1.5, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    dirs = np.array([[0.2, -0.9, 0.3]], np.float32)
+    dirs /= np.linalg.norm(dirs)
+
+    def loss(pos):
+        rgb = diff.render_rays_diff(dscene, pos, jnp.asarray(dirs), num_steps=48, sky=False)
+        return jnp.sum(rgb)
+
+    pos = jnp.asarray([16.3, 18.7, 16.2], jnp.float32)
+    g = np.asarray(jax.jit(jax.grad(loss))(pos))
+    eps = 1e-2
+    for a in range(3):
+        pp = np.asarray(pos).copy()
+        pp[a] += eps
+        fp = float(loss(jnp.asarray(pp)))
+        pp[a] -= 2 * eps
+        fm = float(loss(jnp.asarray(pp)))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - g[a]) < 2e-2 * max(1.0, abs(fd)), (a, fd, g[a])
