@@ -44,7 +44,18 @@ class Scene(NamedTuple):
     """Device-resident render scene. All fields are arrays (jit-friendly pytree).
 
     The grid window is anchored at the address-space origin; its extent is the
-    (static) array shape.
+    (static) array shape. Alongside the raw material grid it carries the
+    render-time acceleration structure used by render/fast.py:
+
+      - ``brick_rows``: per 4^3 brick, the 64 voxel payloads (mat | flags<<8) as
+        one gatherable row — fetching a whole brick costs one descriptor, ~3x
+        cheaper per byte than scalar gathers on TPU.
+      - ``brick_occ``: brick occupancy bits packed into u32 words stored as
+        exact byte planes for the MXU one-hot lookup (ops/mxu_lookup.py) —
+        the device analog of the reference tree's branch bitmaps
+        (low_res.frag:520-524 empty-space skip).
+      - ``y_max``: one above the highest solid voxel; everything above is
+        provably air, enabling analytic sky skips.
     """
 
     mat: jax.Array  # uint8 [Sx, Sy, Sz] material ids, 0 = air
@@ -52,10 +63,19 @@ class Scene(NamedTuple):
     albedo: jax.Array  # f32 [P, 3] canonical unpacked color (color.py)
     flags: jax.Array  # i32 [P] property bitfields (leaf bit included)
     metadata: jax.Array  # f32 [P]
+    brick_rows: jax.Array  # i32 [B, 64]: mat | flags<<8 per voxel, offset
+    # layout ((x&3)<<4 | (y&3)<<2 | (z&3)); B = (Sx/4)(Sy/4)(Sz/4)
+    brick_occ: jax.Array  # f32 [4096, 4] packed occupancy byte planes
+    y_max: jax.Array  # i32 scalar: max solid y + 1
 
     @property
     def shape3(self) -> Tuple[int, int, int]:
         return self.mat.shape
+
+    @property
+    def brick_dims(self) -> Tuple[int, int, int]:
+        Sx, Sy, Sz = self.mat.shape
+        return Sx // 4, Sy // 4, Sz // 4
 
 
 def build_macro(grid: np.ndarray) -> np.ndarray:
@@ -81,9 +101,39 @@ def palette_arrays(pal: Palette, pad_to: int = 8):
     return albedo, flags, meta
 
 
+def build_bricks(grid: np.ndarray, flags_tab: np.ndarray):
+    """Dense grid -> (brick_rows i32[B,64], occ_byte_planes f32[4096,4], y_max).
+
+    Brick = 4^3, row offset layout (x&3)<<4 | (y&3)<<2 | (z&3); payload is
+    mat | flags<<8. Occupancy bits are packed little-endian over the brick
+    linearization (bx*NBy + by)*NBz + bz.
+    """
+    from ..ops.mxu_lookup import pack_bits, pack_words_to_bytes_f32
+
+    Sx, Sy, Sz = grid.shape
+    assert Sx % 4 == Sy % 4 == Sz % 4 == 0, grid.shape
+    nbx, nby, nbz = Sx // 4, Sy // 4, Sz // 4
+    assert nbx * nby * nbz <= 131072, (
+        "brick occupancy exceeds the 4096-word MXU lookup table; use a "
+        "smaller window or spatial sharding (parallel/spatial.py)"
+    )
+    g = (
+        grid.reshape(nbx, 4, nby, 4, nbz, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(nbx * nby * nbz, 64)
+    )
+    rows = g.astype(np.int32) | (np.asarray(flags_tab, np.int32)[g] << 8)
+    occupied = (g > 0).any(axis=1)
+    occ = pack_words_to_bytes_f32(pack_bits(occupied))
+    solid_y = np.nonzero(grid.any(axis=(0, 2)))[0]
+    y_max = int(solid_y.max()) + 1 if len(solid_y) else 0
+    return rows, occ, np.int32(y_max)
+
+
 def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
     """Build the device Scene from a dense material grid + palette."""
     albedo, flags, meta = palette_arrays(pal)
+    rows, occ, y_max = build_bricks(grid, flags)
     put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
     return Scene(
         mat=put(grid),
@@ -91,6 +141,9 @@ def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
         albedo=put(albedo),
         flags=put(flags),
         metadata=put(meta),
+        brick_rows=put(rows),
+        brick_occ=put(occ),
+        y_max=put(y_max),
     )
 
 
@@ -153,12 +206,16 @@ def apply_dirty(
                     blk = tree.get_block((x0 + dx, y0 + dy, z0 + dz))
                     mat[x0 + dx, y0 + dy, z0 + dz] = pal.id_for(blk) if not blk.is_air else 0
     albedo, flags, meta = palette_arrays(pal)
+    rows, occ, y_max = build_bricks(mat, flags)
     return Scene(
         mat=jnp.asarray(mat),
         macro=jnp.asarray(build_macro(mat)),
         albedo=jnp.asarray(albedo),
         flags=jnp.asarray(flags),
         metadata=jnp.asarray(meta),
+        brick_rows=jnp.asarray(rows),
+        brick_occ=jnp.asarray(occ),
+        y_max=jnp.asarray(y_max),
     )
 
 

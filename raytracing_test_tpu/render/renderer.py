@@ -146,6 +146,78 @@ class _March(NamedTuple):
     steps: jnp.ndarray  # i32[N] steps actually marched (debug channel)
 
 
+def classify(flags, mat, active, cfg: RenderConfig):
+    """Split active lanes at a non-air block into reflect/refract/hit, matching
+    the reference's flags==0x3 / ==0x5 / else-break dispatch (frag:317-328)."""
+    f7 = flags & 0x7
+    solid = active & (mat != 0)
+    if cfg.enable_materials:
+        is_refl = solid & (f7 == 0x3)
+        is_refr = solid & (f7 == 0x5)
+    else:
+        is_refl = solid & False
+        is_refr = solid & False
+    return is_refl, is_refr, solid & ~is_refl & ~is_refr
+
+
+def material_step(s: "_March", is_refl, is_refr, flags, cfg: RenderConfig):
+    """Apply reflection/refraction state updates for the masked lanes.
+
+    Returns (dir, step, abs_delta, tmax, seg_origin, last_t, color_mod, ior,
+    reflected) — the post-material marching state, unchanged where unmasked.
+    Shared by the reference-path march (_primary_march) and the fast brick
+    march (render/fast.py).
+    """
+    p = s.seg_origin + s.last_t[:, None] * s.dir
+    oh = _onehot(s.last_axis, s.dir.dtype)
+
+    # ---- reflection (reflectRay, low_res.frag:178-194)
+    refl_m = is_refl[:, None]
+    dir_r = jnp.where(refl_m, s.dir * (1.0 - 2.0 * oh), s.dir)
+    step_r = jnp.where(refl_m, s.step * (1.0 - 2.0 * oh), s.step)
+    tmax_r = jnp.where(refl_m, s.tmax - oh * s.abs_delta, s.tmax)
+    seg_r = jnp.where(refl_m, p - s.last_t[:, None] * dir_r, s.seg_origin)
+    cmod = jnp.where(refl_m, s.color_mod * 0.94, s.color_mod)
+    reflected = s.reflected | is_refl
+
+    # ---- refraction (refractRay, low_res.frag:198-240)
+    liquid = (flags & int(Properties.LIQUID)) > 0
+    tint = jnp.where(
+        liquid[:, None],
+        jnp.asarray([0.94, 0.97, 1.0], s.dir.dtype)[None, :],
+        jnp.asarray([0.95, 0.95, 0.95], s.dir.dtype)[None, :],
+    )
+    cmod = jnp.where(is_refr[:, None], cmod * tint, cmod)
+    bend = is_refr & (s.ior != 1.1)
+    normal = oh * step_r  # points along travel through the face
+    wob = jnp.sin((cfg.time + p[:, 0] * 0.2 - p[:, 2] * 0.1) * 10.0) * 0.2
+    normal = jnp.where(
+        (bend & liquid)[:, None],
+        normal + wob[:, None] * jnp.asarray([1.0, 0.0, 0.0], s.dir.dtype)[None, :],
+        normal,
+    )
+    nn = jnp.linalg.norm(normal, axis=1, keepdims=True)
+    normal = normal / jnp.where(nn > 0, nn, 1.0)
+    r = s.ior / 1.1
+    c1 = jnp.sum(normal * dir_r, axis=1)
+    normal = jnp.where((c1 < 0)[:, None], -normal, normal)
+    c1 = jnp.abs(c1)
+    c2 = jnp.sqrt(jnp.maximum(1.0 - r * r * (1.0 - c1 * c1), 0.0))
+    dir_b = r[:, None] * dir_r + (r * c1 - c2)[:, None] * normal
+    bend_m = bend[:, None]
+    new_dir = jnp.where(bend_m, dir_b, dir_r)
+    new_dir_s, new_step, new_delta, new_abs = _build_ray(new_dir)
+    dirx = jnp.where(bend_m, new_dir_s, dir_r)
+    stepx = jnp.where(bend_m, new_step, step_r)
+    absx = jnp.where(bend_m, new_abs, s.abs_delta)
+    tmax_b = _init_tmax(p, s.cell, new_step, new_delta, new_abs)
+    tmaxx = jnp.where(bend_m, tmax_b, tmax_r)
+    segx = jnp.where(bend_m, p, seg_r)
+    last_t = jnp.where(bend, 0.0, s.last_t)
+    ior = jnp.where(is_refr, 1.1, s.ior)
+    return dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, reflected
+
+
 def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig):
     """The unified primary+material march loop."""
     N = dirs.shape[0]
@@ -187,60 +259,13 @@ def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig):
     def body(carry):
         s, i = carry
         flags = jnp.take(flags_tab, s.mat)
-        f7 = flags & 0x7
         active = ~s.done
-        is_refl = active & (f7 == 0x3) & (s.mat != 0)
-        is_refr = active & (f7 == 0x5) & (s.mat != 0)
-        is_hit = active & (s.mat != 0) & ~is_refl & ~is_refr
+        is_refl, is_refr, is_hit = classify(flags, s.mat, active, cfg)
         done = s.done | is_hit
 
-        p = s.seg_origin + s.last_t[:, None] * s.dir
-        oh = _onehot(s.last_axis, s.dir.dtype)
-
-        # ---- reflection (reflectRay, low_res.frag:178-194)
-        refl_m = is_refl[:, None]
-        dir_r = jnp.where(refl_m, s.dir * (1.0 - 2.0 * oh), s.dir)
-        step_r = jnp.where(refl_m, s.step * (1.0 - 2.0 * oh), s.step)
-        tmax_r = jnp.where(refl_m, s.tmax - oh * s.abs_delta, s.tmax)
-        seg_r = jnp.where(refl_m, p - s.last_t[:, None] * dir_r, s.seg_origin)
-        cmod = jnp.where(refl_m, s.color_mod * 0.94, s.color_mod)
-        reflected = s.reflected | is_refl
-
-        # ---- refraction (refractRay, low_res.frag:198-240)
-        liquid = (flags & int(Properties.LIQUID)) > 0
-        tint = jnp.where(
-            liquid[:, None],
-            jnp.asarray([0.94, 0.97, 1.0], s.dir.dtype)[None, :],
-            jnp.asarray([0.95, 0.95, 0.95], s.dir.dtype)[None, :],
+        (dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, reflected) = (
+            material_step(s, is_refl, is_refr, flags, cfg)
         )
-        cmod = jnp.where(is_refr[:, None], cmod * tint, cmod)
-        bend = is_refr & (s.ior != 1.1)
-        normal = oh * step_r  # points along travel through the face
-        wob = jnp.sin((cfg.time + p[:, 0] * 0.2 - p[:, 2] * 0.1) * 10.0) * 0.2
-        normal = jnp.where(
-            (bend & liquid)[:, None],
-            normal + wob[:, None] * jnp.asarray([1.0, 0.0, 0.0], s.dir.dtype)[None, :],
-            normal,
-        )
-        nn = jnp.linalg.norm(normal, axis=1, keepdims=True)
-        normal = normal / jnp.where(nn > 0, nn, 1.0)
-        r = s.ior / 1.1
-        c1 = jnp.sum(normal * dir_r, axis=1)
-        normal = jnp.where((c1 < 0)[:, None], -normal, normal)
-        c1 = jnp.abs(c1)
-        c2 = jnp.sqrt(jnp.maximum(1.0 - r * r * (1.0 - c1 * c1), 0.0))
-        dir_b = r[:, None] * dir_r + (r * c1 - c2)[:, None] * normal
-        bend_m = bend[:, None]
-        new_dir = jnp.where(bend_m, dir_b, dir_r)
-        new_dir_s, new_step, new_delta, new_abs = _build_ray(new_dir)
-        dirx = jnp.where(bend_m, new_dir_s, dir_r)
-        stepx = jnp.where(bend_m, new_step, step_r)
-        absx = jnp.where(bend_m, new_abs, s.abs_delta)
-        tmax_b = _init_tmax(p, s.cell, new_step, new_delta, new_abs)
-        tmaxx = jnp.where(bend_m, tmax_b, tmax_r)
-        segx = jnp.where(bend_m, p, seg_r)
-        last_t = jnp.where(bend, 0.0, s.last_t)
-        ior = jnp.where(is_refr, 1.1, s.ior)
 
         # ---- DDA step for rays still marching (nextIntersectDDA)
         march = ~done
@@ -339,22 +364,19 @@ def _ao_march(scene: Scene, p, normal, cfg):
     return hit.reshape(N, K).mean(axis=1, dtype=p.dtype)
 
 
-def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
-    """Render arbitrary rays: returns (rgb [N,3], aux dict of debug channels).
+def shade(scene: Scene, s: "_March", raw0, mat0, sun, cfg: RenderConfig, shadow_fn):
+    """Post-march shading + overlays shared by the naive and fast renderers.
 
-    This is the core entry; ``render_image`` wraps it with the camera model.
+    ``shadow_fn(p, cell, last_axis, step, active) -> bool[N]`` runs the sun
+    shadow march (each renderer supplies its own marching machinery).
     """
     f32 = jnp.float32
-    origin = jnp.asarray(origin, f32)
-    dirs = jnp.asarray(dirs, f32)
-    s, raw0, mat0, sun = _primary_march(scene, origin, dirs, cfg)
-
     hit = s.mat != 0
     albedo = jnp.take(scene.albedo, s.mat, axis=0)
     p = s.seg_origin + s.last_t[:, None] * s.dir
 
     # face shading (calcLightIntensity, low_res.frag:242-252)
-    sun_ax = _get(jnp.broadcast_to(sun[None, :], dirs.shape), s.last_axis)
+    sun_ax = _get(jnp.broadcast_to(sun[None, :], s.dir.shape), s.last_axis)
     step_ax = _get(s.step, s.last_axis)
     lam = sun_ax * -step_ax
     facing = lam > 0
@@ -363,14 +385,14 @@ def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
     shadowed = jnp.zeros_like(facing)
     if cfg.enable_shadows:
         shadow_active = hit & facing & ~s.reflected & ~raw0
-        shadowed = _shadow_march(scene, p, s.cell, s.last_axis, s.step, cfg, sun, shadow_active)
+        shadowed = shadow_fn(p, s.cell, s.last_axis, s.step, shadow_active)
         shadowed = shadowed & shadow_active
 
     dark = (~facing) | shadowed
-    shade = jnp.where(
+    shade_f = jnp.where(
         s.reflected, intensity, jnp.where(dark, 0.3, intensity)
     )[:, None]
-    hit_col = albedo * shade * s.color_mod
+    hit_col = albedo * shade_f * s.color_mod
 
     if cfg.enable_ao:
         normal = _onehot(s.last_axis, f32) * -s.step
@@ -402,6 +424,23 @@ def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
         "reflected": s.reflected,
     }
     return col, aux
+
+
+def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
+    """Render arbitrary rays: returns (rgb [N,3], aux dict of debug channels).
+
+    This is the semantically-reference path (single-level DDA); render/fast.py
+    provides the brick-hierarchical fast path validated against this one.
+    """
+    f32 = jnp.float32
+    origin = jnp.asarray(origin, f32)
+    dirs = jnp.asarray(dirs, f32)
+    s, raw0, mat0, sun = _primary_march(scene, origin, dirs, cfg)
+
+    def shadow_fn(p, cell, last_axis, step, active):
+        return _shadow_march(scene, p, cell, last_axis, step, cfg, sun, active)
+
+    return shade(scene, s, raw0, mat0, sun, cfg, shadow_fn)
 
 
 def render_image(scene: Scene, camera: Camera, cfg: RenderConfig):
