@@ -218,8 +218,13 @@ def material_step(s: "_March", is_refl, is_refr, flags, cfg: RenderConfig):
     return dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, reflected
 
 
-def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig):
-    """The unified primary+material march loop."""
+def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig, lookup_fn=None):
+    """The unified primary+material march loop.
+
+    ``lookup_fn(cell) -> mat`` overrides the voxel lookup — parallel/spatial.py
+    injects a collective lookup over a spatially-sharded grid here.
+    """
+    lookup = lookup_fn if lookup_fn is not None else (lambda c: _lookup(scene, c))
     N = dirs.shape[0]
     f32 = dirs.dtype
     d, step, delta, abs_delta = _build_ray(dirs)
@@ -227,7 +232,7 @@ def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig):
     cell = jnp.broadcast_to(cell[None, :], (N, 3))
     origin_b = jnp.broadcast_to(origin[None, :], (N, 3)).astype(f32)
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
-    mat0 = _lookup(scene, cell)
+    mat0 = lookup(cell)
     flags0 = jnp.take(scene.flags, mat0)
 
     # camera-inside-block special cases (low_res.frag:299-307)
@@ -277,7 +282,7 @@ def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig):
         m = march[:, None]
         cell_f = jnp.where(m, cell_n, s.cell)
         new = _March(
-            mat=jnp.where(march, _lookup(scene, cell_f), s.mat),
+            mat=jnp.where(march, lookup(cell_f), s.mat),
             cell=cell_f,
             dir=dirx,
             step=stepx,
@@ -302,9 +307,10 @@ def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig):
     return state, raw0, mat0, sun
 
 
-def _shadow_march(scene: Scene, p, cell, last_axis, step, cfg, sun, active):
+def _shadow_march(scene: Scene, p, cell, last_axis, step, cfg, sun, active, lookup_fn=None):
     """Sun shadow ray (low_res.frag:373-391): rebuild toward the sun, exit
     through the hit face first, march <=75 steps skipping LIQUID blocks."""
+    lookup = lookup_fn if lookup_fn is not None else (lambda c: _lookup(scene, c))
     N = p.shape[0]
     d, sstep, sdelta, sabs = _build_ray(jnp.broadcast_to(sun[None, :], p.shape))
     tmax = _init_tmax(p, cell, sstep, sdelta, sabs)
@@ -321,7 +327,7 @@ def _shadow_march(scene: Scene, p, cell, last_axis, step, cfg, sun, active):
         m = alive[:, None]
         cell_f = jnp.where(m, cell_n, cell)
         tmax_f = jnp.where(m, tmax_n, tmax)
-        mat_n = jnp.where(alive, _lookup(scene, cell_f), mat)
+        mat_n = jnp.where(alive, lookup(cell_f), mat)
         fl = jnp.take(scene.flags, mat_n)
         alive_n = alive & ((mat_n == 0) | ((fl & liquid_bit) > 0))
         return cell_f, tmax_f, mat_n, alive_n, i + 1
