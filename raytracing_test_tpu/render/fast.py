@@ -291,15 +291,19 @@ def fast_march(scene: Scene, state: _March, cfg: RenderConfig, budget, shadow: b
     return state
 
 
-def _init_state(origin, dirs, ior):
+def _init_state(origin, dirs, ior, start_t=None):
     N = dirs.shape[0]
     f32 = dirs.dtype
     d, step, delta, abs_delta = _build_ray(dirs)
-    cell = jnp.floor(origin).astype(jnp.int32)
     if origin.ndim == 1:
         origin = jnp.broadcast_to(origin[None, :], (N, 3))
-        cell = jnp.broadcast_to(cell[None, :], (N, 3))
-    tmax = _init_tmax(origin.astype(f32), cell, step, delta, abs_delta)
+    origin = origin.astype(f32)
+    if start_t is not None:
+        # fast-forward along the ray (progressive refinement seeding — the
+        # mid/full_res "sourceRay" trick, mid_res.frag:219)
+        origin = origin + jnp.maximum(start_t, 0.0)[:, None] * d
+    cell = jnp.floor(origin).astype(jnp.int32)
+    tmax = _init_tmax(origin, cell, step, delta, abs_delta)
     return _March(
         mat=jnp.zeros(N, jnp.int32),
         cell=cell,
@@ -367,8 +371,12 @@ def _shadow_march_fast(scene: Scene, p, cell, last_axis, step, cfg, sun, active)
     return active & (s.mat != 0)
 
 
-def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig):
-    """Fast-path render of arbitrary rays -> (rgb [N,3], aux)."""
+def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig, start_t=None):
+    """Fast-path render of arbitrary rays -> (rgb [N,3], aux).
+
+    ``start_t`` (f32[N], optional) fast-forwards each ray by a known-safe
+    parameter distance before marching (progressive-refinement seeding).
+    """
     f32 = jnp.float32
     origin = jnp.asarray(origin, f32)
     dirs = jnp.asarray(dirs, f32)
@@ -377,16 +385,16 @@ def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig):
     sun = jnp.asarray(cfg.sun_dir, f32)
     sun = sun / jnp.linalg.norm(sun)
 
-    # starting-cell specials (frag:299-307)
-    cell0 = jnp.broadcast_to(jnp.floor(origin).astype(jnp.int32)[None, :], (N, 3))
-    m16_0 = lookup_mat16(scene, cell0)
+    # starting-cell specials (frag:299-307), evaluated at the (possibly
+    # fast-forwarded) start point
+    s = _init_state(origin, dirs, jnp.ones(N, f32), start_t=start_t)
+    m16_0 = lookup_mat16(scene, s.cell)
     mat0 = m16_0 & 0xFF
     flags0 = m16_0 >> 8
     refr0 = (flags0 & int(Properties.REFRACTIVE)) > 0
     raw0 = (mat0 != 0) & ~refr0
     ior = jnp.where((mat0 != 0) & refr0, 1.1, 1.0).astype(f32)
-
-    s = _init_state(origin, dirs, ior)
+    s = s._replace(ior=ior)
     s = s._replace(done=raw0, mat=jnp.where(raw0, mat0, 0))
     s = fast_march(scene, s, cfg, jnp.asarray(cfg.max_steps, jnp.int32), shadow=False)
 
