@@ -58,9 +58,11 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     rays_fb = H * W / dt
 
-    # secondary: hard forward renderer (full materials/shadows)
+    # secondary: hard forward renderer (full materials/shadows, fast path)
+    from raytracing_test_tpu.render import fast
+
     rcfg = RenderConfig(width=W, height=H)
-    fwd = jax.jit(lambda s, p, d: renderer.render_rays(s, p, d, rcfg)[0])
+    fwd = jax.jit(lambda s, p, d: fast.render_rays_fast(s, p, d, rcfg)[0])
     img = fwd(scene, cam.pos, dirs_v[-1])
     jax.block_until_ready(img)
     t0 = time.perf_counter()

@@ -89,6 +89,17 @@ def render_rays_diff(
     if origin.ndim == 1:  # shared origin or per-ray origins both supported
         origin = jnp.broadcast_to(origin[None, :], (N, 3))
     origin_b = origin.astype(f32)
+    # analytic fast-forward to the grid bounding box (slab method): everything
+    # outside contributes zero density, so skipping it changes nothing — and
+    # its zero integrand keeps autodiff gradients exact. Saves most of the
+    # fixed step budget for cameras outside the world (e.g. fit ring views).
+    Sx, Sy, Sz = scene.density.shape
+    hi = jnp.asarray([Sx, Sy, Sz], f32)
+    t1 = (0.0 - origin_b) * delta
+    t2 = (hi[None, :] - origin_b) * delta
+    t_entry = jnp.max(jnp.minimum(t1, t2), axis=1)
+    t0 = jnp.maximum(t_entry - 1e-3, 0.0)
+    origin_b = origin_b + t0[:, None] * d
     cell = jnp.floor(origin_b).astype(jnp.int32)
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
     istep = step.astype(jnp.int32)
@@ -124,6 +135,53 @@ def render_rays_diff(
         sun = sun / jnp.linalg.norm(sun)
         rgb = rgb + trans[:, None] * skybox(d, sun)
     return rgb
+
+
+def transmittance(scene: DiffScene, origins, dirs, num_steps: int = 8):
+    """Volumetric transmittance along short rays — the differentiable
+    occlusion primitive (no color accumulation). origins/dirs: f32[N,3]."""
+    f32 = jnp.float32
+    dirs = jnp.asarray(dirs, f32)
+    origins = jnp.asarray(origins, f32)
+    d, step, delta, abs_delta = _build_ray(dirs)
+    cell = jnp.floor(origins).astype(jnp.int32)
+    tmax = _init_tmax(origins, cell, step, delta, abs_delta)
+    istep = step.astype(jnp.int32)
+
+    def body(carry, _):
+        cell, tmax, t_cur, trans = carry
+        ax = _argmin_axis(tmax)
+        oh = _onehot(ax, f32)
+        t_next = _get(tmax, ax)
+        dt = jnp.maximum(t_next - t_cur, 0.0)
+        sigma, _ = _gather_fields(scene, cell)
+        trans = trans * jnp.exp(-sigma * dt)
+        return (cell + oh.astype(jnp.int32) * istep, tmax + oh * abs_delta, t_next, trans), None
+
+    N = dirs.shape[0]
+    init = (cell, tmax, jnp.zeros(N, f32), jnp.ones(N, f32))
+    (c, t, tc, trans), _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False), init, None, length=num_steps)
+    return trans
+
+
+def ao_diff(
+    scene: DiffScene, points, normals, key, n_rays: int = 20, num_steps: int = 5
+):
+    """Differentiable hemisphere ambient occlusion.
+
+    The volumetric re-expression of the reference's light_scattering pass (20
+    rays x 5 steps per shaded point, light_scattering.frag:226-231) with
+    stochastic cosine-weighted directions instead of the fixed table, and soft
+    transmittance instead of binary hits — so occlusion differentiates w.r.t.
+    the density field. Returns occlusion in [0, 1], shape [N].
+    """
+    from .hemisphere import sample_hemisphere
+
+    N = points.shape[0]
+    dirs = sample_hemisphere(key, normals, n_rays).reshape(N * n_rays, 3)
+    starts = jnp.repeat(points + normals * 1e-2, n_rays, axis=0)
+    trans = transmittance(scene, starts, dirs, num_steps=num_steps)
+    return 1.0 - trans.reshape(N, n_rays).mean(axis=1)
 
 
 def render_image_diff(

@@ -48,6 +48,32 @@ def tangent_frame(normal):
     return t1, t2
 
 
+def sample_hemisphere(key, normal, n: int):
+    """Stochastic cosine-weighted hemisphere directions around per-point
+    normals — the differentiable counterpart of the fixed Fibonacci table
+    (reparameterized: gradients flow through the tangent frame / normal).
+
+    normal: f32[N, 3]; returns f32[N, n, 3].
+    """
+    import jax
+
+    N = normal.shape[0]
+    u1, u2 = jax.random.split(key)
+    e1 = jax.random.uniform(u1, (N, n))
+    e2 = jax.random.uniform(u2, (N, n))
+    r = jnp.sqrt(e1)
+    phi = 2.0 * jnp.pi * e2
+    x = r * jnp.cos(phi)
+    z = r * jnp.sin(phi)
+    y = jnp.sqrt(jnp.maximum(1.0 - e1, 0.0))  # cosine-weighted up component
+    t1, t2 = tangent_frame(normal)
+    return (
+        x[..., None] * t1[:, None, :]
+        + y[..., None] * normal[:, None, :]
+        + z[..., None] * t2[:, None, :]
+    )
+
+
 def oriented_dirs(normal, table=None):
     """Rotate the hemisphere table into the frame of ``normal``.
 

@@ -144,3 +144,30 @@ def test_camera_pos_gradient_finite_difference():
         fm = float(loss(jnp.asarray(pp)))
         fd = (fp - fm) / (2 * eps)
         assert abs(fd - g[a]) < 2e-2 * max(1.0, abs(fd)), (a, fd, g[a])
+
+
+def test_differentiable_ao():
+    """Stochastic hemisphere AO: occluded points darker, gradients flow to
+    density."""
+    import jax
+
+    grid, pal = _simple_world()
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 5.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    key = jax.random.PRNGKey(0)
+    up = jnp.asarray([[0.0, 1.0, 0.0]] * 2, jnp.float32)
+    # point next to the green box (occluded) vs in the open
+    pts = jnp.asarray([[11.5, 8.6, 11.5], [28.5, 8.6, 28.5]], jnp.float32)
+    occ = diff.ao_diff(dscene, pts, up, key, n_rays=64, num_steps=6)
+    occ = np.asarray(occ)
+    assert occ[0] > occ[1] + 0.02, occ
+
+    def loss(s):
+        return diff.ao_diff(s, pts, up, key, n_rays=16, num_steps=6).sum()
+
+    g = jax.jit(jax.grad(loss))(dscene)
+    assert float(jnp.abs(g.density).sum()) > 0
+    assert np.isfinite(np.asarray(g.density)).all()
