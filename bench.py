@@ -43,18 +43,22 @@ def main():
         rgb = diff.render_rays_diff(ds, pos, d, num_steps=NUM_STEPS, sky=False)
         return jnp.mean(rgb)
 
-    fwd_bwd = jax.jit(jax.grad(loss))
-    # NOTE: inputs must differ per call — the axon backend memoizes executions
-    # with identical argument buffers, which silently turns repeats into cache
-    # hits and inflates throughput ~1000x.
+    # NOTE measurement hygiene for the tunneled (axon) backend:
+    #  - inputs must differ per call (identical-input executions are memoized)
+    #  - results must be MATERIALIZED (np.asarray); block_until_ready returns
+    #    before remote execution completes
+    # Reduce outputs to scalars inside jit so materialization cost is nil.
+    fwd_bwd = jax.jit(
+        lambda ds, pos, d: jax.tree_util.tree_reduce(
+            lambda a, x: a + x.sum(), jax.grad(loss)(ds, pos, d), 0.0
+        )
+    )
     iters = 3
     dirs_v = [dirs * (1.0 + 1e-6 * k) for k in range(iters + 1)]
-    g = fwd_bwd(dscene, cam.pos, dirs_v[-1])  # warmup/compile
-    jax.block_until_ready(g)
+    float(np.asarray(fwd_bwd(dscene, cam.pos, dirs_v[-1])))  # warmup/compile
     t0 = time.perf_counter()
     for k in range(iters):
-        g = fwd_bwd(dscene, cam.pos, dirs_v[k])
-    jax.block_until_ready(g)
+        float(np.asarray(fwd_bwd(dscene, cam.pos, dirs_v[k])))
     dt = (time.perf_counter() - t0) / iters
     rays_fb = H * W / dt
 
@@ -62,13 +66,11 @@ def main():
     from raytracing_test_tpu.render import fast
 
     rcfg = RenderConfig(width=W, height=H)
-    fwd = jax.jit(lambda s, p, d: fast.render_rays_fast(s, p, d, rcfg)[0])
-    img = fwd(scene, cam.pos, dirs_v[-1])
-    jax.block_until_ready(img)
+    fwd = jax.jit(lambda s, p, d: fast.render_rays_fast(s, p, d, rcfg)[0].sum())
+    float(np.asarray(fwd(scene, cam.pos, dirs_v[-1])))
     t0 = time.perf_counter()
     for k in range(iters):
-        img = fwd(scene, cam.pos, dirs_v[k])
-    jax.block_until_ready(img)
+        float(np.asarray(fwd(scene, cam.pos, dirs_v[k])))
     dt_f = (time.perf_counter() - t0) / iters
     rays_f = H * W / dt_f
 

@@ -50,10 +50,12 @@ class Scene(NamedTuple):
       - ``brick_rows``: per 4^3 brick, the 64 voxel payloads (mat | flags<<8) as
         one gatherable row — fetching a whole brick costs one descriptor, ~3x
         cheaper per byte than scalar gathers on TPU.
-      - ``brick_occ``: brick occupancy bits packed into u32 words stored as
-        exact byte planes for the MXU one-hot lookup (ops/mxu_lookup.py) —
-        the device analog of the reference tree's branch bitmaps
-        (low_res.frag:520-524 empty-space skip).
+      - ``brick_dist``: per-brick Chebyshev distance to the nearest occupied
+        brick (4-bit, nibble-packed into u32 words stored as exact byte planes
+        for the MXU one-hot lookup, ops/mxu_lookup.py). Distance 0 = occupied;
+        d >= 1 licenses a one-shot jump through the (2d-1)^3-brick empty box —
+        the hierarchical generalization of the reference tree's bitmap
+        empty-space skip (low_res.frag:520-524).
       - ``y_max``: one above the highest solid voxel; everything above is
         provably air, enabling analytic sky skips.
     """
@@ -65,7 +67,7 @@ class Scene(NamedTuple):
     metadata: jax.Array  # f32 [P]
     brick_rows: jax.Array  # i32 [B, 64]: mat | flags<<8 per voxel, offset
     # layout ((x&3)<<4 | (y&3)<<2 | (z&3)); B = (Sx/4)(Sy/4)(Sz/4)
-    brick_occ: jax.Array  # f32 [4096, 4] packed occupancy byte planes
+    brick_dist: jax.Array  # f32 [W, 4] nibble-packed brick distance field
     y_max: jax.Array  # i32 scalar: max solid y + 1
 
     @property
@@ -102,19 +104,23 @@ def palette_arrays(pal: Palette, pad_to: int = 8):
 
 
 def build_bricks(grid: np.ndarray, flags_tab: np.ndarray):
-    """Dense grid -> (brick_rows i32[B,64], occ_byte_planes f32[4096,4], y_max).
+    """Dense grid -> (brick_rows i32[B,64], dist byte planes f32[W,4], y_max).
 
     Brick = 4^3, row offset layout (x&3)<<4 | (y&3)<<2 | (z&3); payload is
-    mat | flags<<8. Occupancy bits are packed little-endian over the brick
-    linearization (bx*NBy + by)*NBz + bz.
+    mat | flags<<8. The 4-bit Chebyshev brick-distance field is nibble-packed
+    little-endian over the brick linearization (bx*NBy + by)*NBz + bz.
     """
-    from ..ops.mxu_lookup import pack_bits, pack_words_to_bytes_f32
+    from ..ops.mxu_lookup import (
+        chebyshev_distance_field,
+        pack_nibbles,
+        pack_words_to_bytes_f32,
+    )
 
     Sx, Sy, Sz = grid.shape
     assert Sx % 4 == Sy % 4 == Sz % 4 == 0, grid.shape
     nbx, nby, nbz = Sx // 4, Sy // 4, Sz // 4
     assert nbx * nby * nbz <= 131072, (
-        "brick occupancy exceeds the 4096-word MXU lookup table; use a "
+        "brick distance field exceeds the 16384-word MXU lookup table; use a "
         "smaller window or spatial sharding (parallel/spatial.py)"
     )
     g = (
@@ -123,11 +129,14 @@ def build_bricks(grid: np.ndarray, flags_tab: np.ndarray):
         .reshape(nbx * nby * nbz, 64)
     )
     rows = g.astype(np.int32) | (np.asarray(flags_tab, np.int32)[g] << 8)
-    occupied = (g > 0).any(axis=1)
-    occ = pack_words_to_bytes_f32(pack_bits(occupied))
+    occupied = (g > 0).any(axis=1).reshape(nbx, nby, nbz)
+    dist = chebyshev_distance_field(occupied)
+    words = pack_nibbles(dist.reshape(-1))
+    pad = 4096 if len(words) <= 4096 else 16384
+    dist_planes = pack_words_to_bytes_f32(words, pad_to=pad)
     solid_y = np.nonzero(grid.any(axis=(0, 2)))[0]
     y_max = int(solid_y.max()) + 1 if len(solid_y) else 0
-    return rows, occ, np.int32(y_max)
+    return rows, dist_planes, np.int32(y_max)
 
 
 def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
@@ -142,7 +151,7 @@ def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
         flags=put(flags),
         metadata=put(meta),
         brick_rows=put(rows),
-        brick_occ=put(occ),
+        brick_dist=put(occ),
         y_max=put(y_max),
     )
 
@@ -214,7 +223,7 @@ def apply_dirty(
         flags=jnp.asarray(flags),
         metadata=jnp.asarray(meta),
         brick_rows=jnp.asarray(rows),
-        brick_occ=jnp.asarray(occ),
+        brick_dist=jnp.asarray(occ),
         y_max=jnp.asarray(y_max),
     )
 

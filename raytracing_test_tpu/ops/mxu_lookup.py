@@ -25,11 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_words_to_bytes_f32(words: np.ndarray) -> np.ndarray:
-    """u32[W] -> f32[W, 4] little-endian bytes, padded to W=4096."""
+def pack_words_to_bytes_f32(words: np.ndarray, pad_to: int = 4096) -> np.ndarray:
+    """u32[W] -> f32[pad, 4] little-endian bytes. ``pad_to`` must be a square
+    of a multiple of 64 (4096 -> 64x64 decomposition, 16384 -> 128x128)."""
     w = np.asarray(words, dtype=np.uint32)
-    assert w.ndim == 1 and w.shape[0] <= 4096, w.shape
-    out = np.zeros((4096, 4), dtype=np.float32)
+    assert w.ndim == 1 and w.shape[0] <= pad_to, (w.shape, pad_to)
+    out = np.zeros((pad_to, 4), dtype=np.float32)
     for b in range(4):
         out[: w.shape[0], b] = ((w >> (8 * b)) & 0xFF).astype(np.float32)
     return out
@@ -38,23 +39,78 @@ def pack_words_to_bytes_f32(words: np.ndarray) -> np.ndarray:
 def mxu_word_lookup(table_bytes: jax.Array, idx: jax.Array) -> jax.Array:
     """Lookup u32 words (as exact byte planes) by index.
 
-    table_bytes: f32[4096, 4] from pack_words_to_bytes_f32.
-    idx: int32[N] in [0, 4096).
+    table_bytes: f32[W, 4] from pack_words_to_bytes_f32, W in {4096, 16384}
+    (decomposed as 64x64 or 128x128).
+    idx: int32[N] in [0, W).
     returns: int32[N] (the u32 word bit pattern; safe for bit ops).
     """
-    hi = (idx >> 6).astype(jnp.int32)
-    lo = (idx & 63).astype(jnp.int32)
-    ar = jnp.arange(64, dtype=jnp.int32)
+    W = table_bytes.shape[0]
+    A = {4096: 64, 16384: 128}[W]
+    hi = (idx // A).astype(jnp.int32)
+    lo = (idx % A).astype(jnp.int32)
+    ar = jnp.arange(A, dtype=jnp.int32)
     oh_hi = (hi[:, None] == ar[None, :]).astype(jnp.bfloat16)
-    oh_lo = (lo[:, None] == ar[None, :]).astype(jnp.float32)
-    tab = table_bytes.reshape(64, 64 * 4).astype(jnp.bfloat16)
+    # bf16 holds integers <= 256 exactly, so byte planes survive bit-for-bit;
+    # keeping the [N, A*4] intermediate in bf16 halves the bandwidth
+    tab = table_bytes.reshape(A, A * 4).astype(jnp.bfloat16)
     m1 = jax.lax.dot_general(
-        oh_hi, tab, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [N, 256]
-    m1 = m1.reshape(-1, 64, 4)
-    bytes_ = jnp.einsum("nj,njb->nb", oh_lo, m1)  # exact 0..255 floats
+        oh_hi, tab, (((1,), (0,)), ((), ())), preferred_element_type=jnp.bfloat16
+    ).reshape(-1, A, 4)
+    # select the lo row: broadcast one-hot multiply + reduce (VPU). NOT an
+    # einsum — 'nj,njb->nb' lowers to N tiny batched matvecs, which is
+    # catastrophically scalar on TPU.
+    oh_lo = (lo[:, None] == ar[None, :]).astype(jnp.bfloat16)
+    bytes_ = (m1 * oh_lo[:, :, None]).sum(axis=1)
     b = bytes_.astype(jnp.int32)
     return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+
+def mxu_nibble_lookup(table_bytes: jax.Array, nib_idx: jax.Array) -> jax.Array:
+    """Lookup 4-bit values packed 8-per-u32-word (little-endian nibbles)."""
+    word = mxu_word_lookup(table_bytes, nib_idx >> 3)
+    return (word >> ((nib_idx & 7) << 2)) & 0xF
+
+
+def chebyshev_distance_field(occupied: np.ndarray, cap: int = 15) -> np.ndarray:
+    """L-inf distance (in cells) to the nearest occupied cell, capped.
+
+    occupied: bool [X, Y, Z]; returns uint8 with 0 = occupied. Distance d >= 1
+    certifies that every cell within Chebyshev radius d-1 is empty — the jump
+    license used by the fast renderer's empty-space advance.
+    """
+    occ = np.asarray(occupied, bool)
+    dist = np.where(occ, 0, cap).astype(np.uint8)
+    cur = occ.copy()
+    for d in range(1, cap):
+        # one Chebyshev dilation = 3^3 max-pool; separable as composed
+        # per-axis +/-1 shift-ORs (each axis applied to the running result)
+        nxt = cur.copy()
+        for ax in range(3):
+            sl = [slice(None)] * 3
+            sr = [slice(None)] * 3
+            sl[ax] = slice(1, None)
+            sr[ax] = slice(None, -1)
+            grown = nxt.copy()
+            grown[tuple(sl)] |= nxt[tuple(sr)]
+            grown[tuple(sr)] |= nxt[tuple(sl)]
+            nxt = grown
+        newly = nxt & ~cur
+        dist[newly] = d
+        cur = nxt
+        if cur.all():
+            break
+    return dist
+
+
+def pack_nibbles(vals: np.ndarray) -> np.ndarray:
+    """uint8[n] (values < 16) -> u32[ceil(n/8)] little-endian nibble packing."""
+    v = np.asarray(vals).astype(np.uint32).ravel()
+    pad = (-len(v)) % 8
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, np.uint32)])
+    v = v.reshape(-1, 8)
+    shifts = (np.arange(8, dtype=np.uint32) * 4).astype(np.uint32)
+    return (v << shifts[None, :]).sum(axis=1, dtype=np.uint32)
 
 
 def mxu_bit_lookup(table_bytes: jax.Array, bit_idx: jax.Array) -> jax.Array:

@@ -54,7 +54,7 @@ def shard_scene_spatial(scene: Scene, mesh: Mesh) -> Scene:
         flags=jax.device_put(scene.flags, rep),
         metadata=jax.device_put(scene.metadata, rep),
         brick_rows=jax.device_put(scene.brick_rows, rep),
-        brick_occ=jax.device_put(scene.brick_occ, rep),
+        brick_dist=jax.device_put(scene.brick_dist, rep),
         y_max=jax.device_put(scene.y_max, rep),
     )
 
@@ -89,7 +89,7 @@ def render_rays_spatial(
     scene_specs = Scene(
         mat=P(SPACE_AXIS, None, None),
         macro=P(), albedo=P(), flags=P(), metadata=P(),
-        brick_rows=P(), brick_occ=P(), y_max=P(),
+        brick_rows=P(), brick_dist=P(), y_max=P(),
     )
 
     @functools.partial(

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..core.flatten import Scene
 from ..core.types import Properties
-from ..ops.mxu_lookup import mxu_bit_lookup
+from ..ops.mxu_lookup import mxu_nibble_lookup
 from .camera import Camera, ray_directions
 from .renderer import (
     _March,
@@ -144,9 +144,11 @@ def _classify_lanes(scene: Scene, s: _March, budget):
     sky_up = in_sky & (istep[:, 1] > 0)
     active = ~s.done
     exit_now = active & (moving_away | sky_up)
-    occ = mxu_bit_lookup(scene.brick_occ, _brick_lin(scene, s.cell)) > 0
-    parked = active & ~exit_now & inside & ~in_sky & occ
-    return inside, in_sky, exit_now, parked, out_pos, out_neg
+    # Chebyshev brick-distance: 0 = occupied (park); d >= 1 licenses a jump
+    # through the (2d-1)^3-brick box centered on the current brick
+    dist = mxu_nibble_lookup(scene.brick_dist, _brick_lin(scene, s.cell))
+    parked = active & ~exit_now & inside & ~in_sky & (dist == 0)
+    return inside, in_sky, exit_now, parked, out_pos, out_neg, dist
 
 
 def _empty_march(scene: Scene, s: _March, budget):
@@ -157,19 +159,21 @@ def _empty_march(scene: Scene, s: _March, budget):
 
     def cond(carry):
         s, cls, it = carry
-        _, _, _, parked, _, _ = cls
+        parked = cls[3]
         return (it < 2 * budget) & jnp.any(~s.done & ~parked)
 
     def body(carry):
         s, cls, it = carry
-        inside, in_sky, exit_now, parked, out_pos, out_neg = cls
+        inside, in_sky, exit_now, parked, out_pos, out_neg, dist = cls
         s = s._replace(done=s.done | exit_now)
         advance = ~s.done & ~parked
 
         # empty-region AABB per lane, by priority: sky slab > outside slab >
-        # empty brick
-        brick_lo = (s.cell >> 2) << 2
-        brick_hi = brick_lo + 3
+        # distance-certified empty box around the current brick
+        b = s.cell >> 2
+        r = (jnp.maximum(dist, 1) - 1)[:, None]
+        brick_lo = (b - r) << 2
+        brick_hi = ((b + r) << 2) + 3
         big_lo = jnp.full_like(s.cell, -_BIG)
         big_hi = jnp.full_like(s.cell, _BIG)
         # outside-window slab along each out axis
@@ -195,13 +199,13 @@ def _empty_march(scene: Scene, s: _March, budget):
         return s, _classify_lanes(scene, s, budget), it + 1
 
     cls0 = _classify_lanes(scene, s, budget)
-    s, cls, _ = jax.lax.while_loop(cond, body, (s, cls0, jnp.asarray(0, jnp.int32)))
-    _, _, exit_now, parked, _, _ = cls
+    s, cls, iters = jax.lax.while_loop(cond, body, (s, cls0, jnp.asarray(0, jnp.int32)))
+    exit_now, parked = cls[2], cls[3]
     # anything not parked after the loop is either done or frozen in air
     # (iteration cap / budget): finish it as sky rather than looping forever
     s = s._replace(done=s.done | (exit_now | (~parked & ~s.done)))
     undone = parked & ~s.done
-    return s, undone
+    return s, undone, iters
 
 
 def _brick_phase(scene: Scene, s: _March, parked, cfg: RenderConfig, budget, shadow: bool):
@@ -269,26 +273,76 @@ def _brick_phase(scene: Scene, s: _March, parked, cfg: RenderConfig, budget, sha
     return s
 
 
-def fast_march(scene: Scene, state: _March, cfg: RenderConfig, budget, shadow: bool = False):
-    """The full phased march: alternate empty-space advance and brick resolve."""
+def fast_march(
+    scene: Scene,
+    state: _March,
+    cfg: RenderConfig,
+    budget,
+    shadow: bool = False,
+    compact_fraction: int = 8,
+):
+    """The full phased march: alternate empty-space advance and brick resolve,
+    with ray compaction for the straggler tail.
 
-    def cond(carry):
+    Every round costs O(N) regardless of how many lanes still march (gathers
+    and the fine loop can't be masked away), and worst-case lanes (grazing
+    rays) need ~20-30 rounds while most finish in 1-3. So: run full-width
+    rounds only until the active count drops below N/compact_fraction, then
+    gather the survivors into a compact array, drain them there, and scatter
+    the results back — the classic wavefront-compaction trick, shapes static
+    throughout.
+    """
+
+    N = state.cell.shape[0]
+    M = _compact_size_static(N, compact_fraction)
+
+    def cond_many(carry):
         s, i = carry
+        active = ~s.done & (s.mat == 0)
         # round cap: worst case is a long traversal of occupied-but-transparent
         # (liquid) bricks at >= 2 crossings per round within the step budget
-        return (i < 192) & jnp.any(~s.done & (s.mat == 0))
+        return ((i >> 16) < 192) & (jnp.sum(active) > M)
+
+    def cond_all(carry):
+        s, i = carry
+        return ((i >> 16) < 192) & jnp.any(~s.done & (s.mat == 0))
 
     def body(carry):
         s, i = carry
-        s, parked = _empty_march(scene, s, budget)
+        s, parked, it = _empty_march(scene, s, budget)
         s = _brick_phase(scene, s, parked, cfg, budget, shadow)
-        return s, i + 1
+        return s, i + (1 << 16) + it
+        # ^ i packs (outer rounds << 16 | total empty iterations) for stats
 
-    # handle the starting cell (the loop structure only evaluates materials in
-    # brick phases; a camera inside an occupied brick parks immediately, so the
-    # generic path covers it)
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
-    return state
+    if M >= N:  # too small to be worth compacting
+        state, i = jax.lax.while_loop(
+            cond_all, body, (state, jnp.asarray(0, jnp.int32))
+        )
+        return state, i
+
+    # phase 1: full width until few lanes remain
+    state, i = jax.lax.while_loop(cond_many, body, (state, jnp.asarray(0, jnp.int32)))
+
+    # phase 2: compact the stragglers and drain
+    active = ~state.done & (state.mat == 0)
+    count = jnp.sum(active)
+    (idx,) = jnp.nonzero(active, size=M, fill_value=0)
+    valid = jnp.arange(M) < count
+    sub = jax.tree_util.tree_map(lambda a: a[idx], state)
+    sub = sub._replace(done=sub.done | ~valid)
+    sub, i2 = jax.lax.while_loop(cond_all, body, (sub, jnp.asarray(0, jnp.int32)))
+    scatter_idx = jnp.where(valid, idx, N)  # out-of-bounds rows are dropped
+    state = jax.tree_util.tree_map(
+        lambda full, part: full.at[scatter_idx].set(part, mode="drop"),
+        state,
+        sub,
+    )
+    return state, i + i2
+
+
+def _compact_size_static(n: int, frac: int) -> int:
+    m = max(n // frac, 256)
+    return ((m + 127) // 128) * 128
 
 
 def _init_state(origin, dirs, ior, start_t=None):
@@ -367,7 +421,7 @@ def _shadow_march_fast(scene: Scene, p, cell, last_axis, step, cfg, sun, active)
         mat=jnp.where(first_hit, first_mat, 0),
         done=s.done | first_hit,
     )
-    s = fast_march(scene, s, cfg, jnp.asarray(cfg.shadow_steps, jnp.int32), shadow=True)
+    s, _ = fast_march(scene, s, cfg, jnp.asarray(cfg.shadow_steps, jnp.int32), shadow=True)
     return active & (s.mat != 0)
 
 
@@ -396,12 +450,15 @@ def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig, start_t=None
     ior = jnp.where((mat0 != 0) & refr0, 1.1, 1.0).astype(f32)
     s = s._replace(ior=ior)
     s = s._replace(done=raw0, mat=jnp.where(raw0, mat0, 0))
-    s = fast_march(scene, s, cfg, jnp.asarray(cfg.max_steps, jnp.int32), shadow=False)
+    s, stats = fast_march(scene, s, cfg, jnp.asarray(cfg.max_steps, jnp.int32), shadow=False)
 
     def shadow_fn(p, cell, last_axis, step, active):
         return _shadow_march_fast(scene, p, cell, last_axis, step, cfg, sun, active)
 
-    return shade(scene, s, raw0, mat0, sun, cfg, shadow_fn)
+    col, aux = shade(scene, s, raw0, mat0, sun, cfg, shadow_fn)
+    aux["march_rounds"] = stats >> 16
+    aux["march_empty_iters"] = stats & 0xFFFF
+    return col, aux
 
 
 def render_image_fast(scene: Scene, camera: Camera, cfg: RenderConfig):
