@@ -10,12 +10,38 @@ Prints exactly one JSON line.
 """
 
 import json
+import signal
+import sys
 import time
 
 import numpy as np
 
 
+def _watchdog(seconds: int = 540):
+    """The tunneled TPU backend occasionally wedges (calls hang instead of
+    failing); make sure the driver still gets a JSON line."""
+
+    def _fire(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "rays/s/chip 1024^2 fwd+bwd — DEVICE UNRESPONSIVE "
+                    "(tunnel wedge), no measurement this run",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(2)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog()
     import jax
     import jax.numpy as jnp
 

@@ -195,6 +195,37 @@ def trace_ray(
     return albedo * f32(intensity) * color_mod
 
 
+def ao_factor_scalar(mat_grid, p, normal, ao_rays: int, ao_steps: int) -> float:
+    """Hemisphere occlusion at a hit point — scalar twin of renderer._ao_march
+    (itself the proper version of the reference's light_scattering pass)."""
+    from ..render.hemisphere import fibonacci_hemisphere
+
+    table = fibonacci_hemisphere(ao_rays, 0.85)
+    n = normal.astype(np.float32)
+    vertical = abs(float(n[1])) > 0.9
+    up = np.array([1.0, 0.0, 0.0], np.float32) if vertical else np.array([0.0, 1.0, 0.0], np.float32)
+    t1 = np.cross(up, n)
+    t1 = t1 / np.linalg.norm(t1)
+    t2 = np.cross(n, t1)
+    start = p + n * np.float32(1e-3)
+    hits = 0
+    for k in range(ao_rays):
+        d = table[k, 0] * t1 + table[k, 1] * n + table[k, 2] * t2
+        dd, sstep, sdelta, sabs = _build_ray(d.astype(np.float32))
+        cell = np.floor(start).astype(np.int64)
+        tmax = _init_tmax(start, cell, sstep, sdelta, sabs)
+        for _ in range(ao_steps):
+            ax = _axis(tmax)
+            tmax = tmax.copy()
+            tmax[ax] += sabs[ax]
+            cell = cell.copy()
+            cell[ax] += int(sstep[ax])
+            if _lookup(mat_grid, *cell) != 0:
+                hits += 1
+                break
+    return hits / ao_rays
+
+
 def render_image_oracle(
     mat_grid: np.ndarray,
     flags_tab: np.ndarray,

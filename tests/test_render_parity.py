@@ -151,3 +151,31 @@ def test_ao_runs_and_darkens():
     )
     assert np.all(ao <= base + 1e-6)
     assert ao.sum() < base.sum()  # something got occluded
+
+
+def test_ao_occlusion_matches_scalar_oracle():
+    """The vectorized hemisphere AO march equals the scalar oracle at sampled
+    hit points (same Fibonacci table, tangent frame, and 5-step marches)."""
+    import jax.numpy as jnp
+    from raytracing_test_tpu.oracle.cpu_renderer import ao_factor_scalar
+    from raytracing_test_tpu.render.camera import ray_directions
+
+    grid, pal = _material_world()
+    scene = flatten.scene_from_grid(grid, pal)
+    cam = Camera(
+        pos=np.asarray((35.0, 20.0, 35.0), np.float32),
+        dir=np.asarray((0.5, -0.5, 0.5), np.float32),
+    )
+    rcfg = RenderConfig(width=16, height=16)
+    dirs = ray_directions(cam, 16, 16)
+    _, aux = renderer.render_rays(scene, cam.pos, dirs, rcfg)
+    hit = np.asarray(aux["hit"])
+    p = np.asarray(aux["hit_pos"])
+    n = np.asarray(aux["normal"])
+    occ_vec = np.asarray(
+        renderer._ao_march(scene, jnp.asarray(p), jnp.asarray(n), rcfg)
+    )
+    idx = np.nonzero(hit)[0][::7][:12]
+    for i in idx:
+        want = ao_factor_scalar(grid, p[i], n[i], rcfg.ao_rays, rcfg.ao_steps)
+        assert abs(occ_vec[i] - want) < 1e-6, (i, occ_vec[i], want)
