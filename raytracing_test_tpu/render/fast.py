@@ -238,13 +238,20 @@ def _brick_phase(scene: Scene, s: _March, parked, cfg: RenderConfig, budget, sha
         s2 = s._replace(mat=jnp.where(fine, mat, s.mat), done=done)
 
         if not shadow:
-            (dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, refl) = material_step(
-                s2, is_refl, is_refr, fl, cfg
-            )
-            s2 = s2._replace(
-                dir=dirx, step=stepx, abs_delta=absx, tmax=tmaxx,
-                seg_origin=segx, last_t=last_t, color_mod=cmod, ior=ior,
-                reflected=refl,
+            # material math is ~half the fine-body cost but fires on a tiny
+            # fraction of iterations; branch around it when no lane needs it
+            def _with_materials(s2):
+                (dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, refl) = (
+                    material_step(s2, is_refl, is_refr, fl, cfg)
+                )
+                return s2._replace(
+                    dir=dirx, step=stepx, abs_delta=absx, tmax=tmaxx,
+                    seg_origin=segx, last_t=last_t, color_mod=cmod, ior=ior,
+                    reflected=refl,
+                )
+
+            s2 = jax.lax.cond(
+                jnp.any(is_refl | is_refr), _with_materials, lambda s2: s2, s2
             )
 
         # fine DDA step for lanes still marching in this brick
@@ -323,14 +330,14 @@ def fast_march(
     # phase 1: full width until few lanes remain
     state, i = jax.lax.while_loop(cond_many, body, (state, jnp.asarray(0, jnp.int32)))
 
-    # phase 2: compact the stragglers and drain
+    # phase 2: compact the stragglers and recurse (multi-stage: N/8, N/64, ...)
     active = ~state.done & (state.mat == 0)
     count = jnp.sum(active)
     (idx,) = jnp.nonzero(active, size=M, fill_value=0)
     valid = jnp.arange(M) < count
     sub = jax.tree_util.tree_map(lambda a: a[idx], state)
     sub = sub._replace(done=sub.done | ~valid)
-    sub, i2 = jax.lax.while_loop(cond_all, body, (sub, jnp.asarray(0, jnp.int32)))
+    sub, i2 = fast_march(scene, sub, cfg, budget, shadow, compact_fraction)
     scatter_idx = jnp.where(valid, idx, N)  # out-of-bounds rows are dropped
     state = jax.tree_util.tree_map(
         lambda full, part: full.at[scatter_idx].set(part, mode="drop"),
