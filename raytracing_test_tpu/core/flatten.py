@@ -47,15 +47,13 @@ class Scene(NamedTuple):
     (static) array shape. Alongside the raw material grid it carries the
     render-time acceleration structure used by render/fast.py:
 
-      - ``brick_rows``: per 4^3 brick, the 64 voxel payloads (mat | flags<<8) as
-        one gatherable row — fetching a whole brick costs one descriptor, ~3x
-        cheaper per byte than scalar gathers on TPU.
-      - ``brick_dist``: per-brick Chebyshev distance to the nearest occupied
-        brick (4-bit, nibble-packed into u32 words stored as exact byte planes
-        for the MXU one-hot lookup, ops/mxu_lookup.py). Distance 0 = occupied;
-        d >= 1 licenses a one-shot jump through the (2d-1)^3-brick empty box —
-        the hierarchical generalization of the reference tree's bitmap
-        empty-space skip (low_res.frag:520-524).
+      - ``grid_enc``: the material grid with the empty space REPURPOSED as a
+        cell-level Chebyshev distance field: solid cells carry their material
+        id (< 128), air cells carry 128 + distance-to-nearest-solid. The fast
+        march then needs exactly ONE u8 gather per iteration — it returns
+        either the hit material or a certified all-air jump box (the
+        generalization of the reference tree's bitmap empty-space skip,
+        low_res.frag:520-524).
       - ``y_max``: one above the highest solid voxel; everything above is
         provably air, enabling analytic sky skips.
     """
@@ -65,9 +63,10 @@ class Scene(NamedTuple):
     albedo: jax.Array  # f32 [P, 3] canonical unpacked color (color.py)
     flags: jax.Array  # i32 [P] property bitfields (leaf bit included)
     metadata: jax.Array  # f32 [P]
-    brick_rows: jax.Array  # i32 [B, 64]: mat | flags<<8 per voxel, offset
-    # layout ((x&3)<<4 | (y&3)<<2 | (z&3)); B = (Sx/4)(Sy/4)(Sz/4)
-    brick_dist: jax.Array  # f32 [W, 4] nibble-packed brick distance field
+    grid_enc: jax.Array  # uint8 [Sx, Sy, Sz]: v < 128 -> material id at the
+    # cell (0 never occurs); v >= 128 -> air with Chebyshev distance v-128 >= 1
+    # to the nearest solid cell (capped), licensing a radius-(d-1) jump box.
+    # ONE gather yields both the material and the empty-space skip license.
     y_max: jax.Array  # i32 scalar: max solid y + 1
 
     @property
@@ -103,46 +102,51 @@ def palette_arrays(pal: Palette, pad_to: int = 8):
     return albedo, flags, meta
 
 
-def build_bricks(grid: np.ndarray, flags_tab: np.ndarray):
-    """Dense grid -> (brick_rows i32[B,64], dist byte planes f32[W,4], y_max).
+def _dilate_cheb(occ: np.ndarray, radius_log2: int) -> np.ndarray:
+    """occ dilated by an L-inf cube of radius 2^radius_log2 - 1, via
+    log-doubling shift-ORs (separable per axis)."""
+    m = occ.copy()
+    for j in range(radius_log2):
+        k = 1 << j
+        for ax in range(3):
+            shifted = np.zeros_like(m)
+            sl = [slice(None)] * 3
+            sr = [slice(None)] * 3
+            sl[ax] = slice(k, None)
+            sr[ax] = slice(None, -k)
+            shifted[tuple(sl)] = m[tuple(sr)]
+            m |= shifted
+            shifted[:] = False
+            shifted[tuple(sr)] = m[tuple(sl)]
+            m |= shifted
+    return m
 
-    Brick = 4^3, row offset layout (x&3)<<4 | (y&3)<<2 | (z&3); payload is
-    mat | flags<<8. The 4-bit Chebyshev brick-distance field is nibble-packed
-    little-endian over the brick linearization (bx*NBy + by)*NBz + bz.
+
+def build_grid_enc(grid: np.ndarray) -> np.ndarray:
+    """Material grid -> distance-encoded grid (see Scene.grid_enc).
+
+    Air distances are power-of-two LOWER BOUNDS (1, 2, 4, 8, 16, 32) built with
+    log-doubling dilations — exact cell-level Chebyshev would cost O(cap)
+    passes; the bounds cost O(log cap) and give within-2x jump radii.
     """
-    from ..ops.mxu_lookup import (
-        chebyshev_distance_field,
-        pack_nibbles,
-        pack_words_to_bytes_f32,
-    )
+    assert int(grid.max(initial=0)) < 128, "material ids must fit 7 bits"
+    occ = grid > 0
+    enc = np.full(grid.shape, 128 + 1, np.uint8)  # air, distance >= 1
+    for j in range(1, 6):  # dilation radii 1, 3, 7, 15, 31
+        covered = _dilate_cheb(occ, j)
+        enc[~covered] = 128 + (1 << j)  # distance > 2^j - 1  =>  >= 2^j
+    enc[occ] = grid[occ]
+    return enc
 
-    Sx, Sy, Sz = grid.shape
-    assert Sx % 4 == Sy % 4 == Sz % 4 == 0, grid.shape
-    nbx, nby, nbz = Sx // 4, Sy // 4, Sz // 4
-    assert nbx * nby * nbz <= 131072, (
-        "brick distance field exceeds the 16384-word MXU lookup table; use a "
-        "smaller window or spatial sharding (parallel/spatial.py)"
-    )
-    g = (
-        grid.reshape(nbx, 4, nby, 4, nbz, 4)
-        .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(nbx * nby * nbz, 64)
-    )
-    rows = g.astype(np.int32) | (np.asarray(flags_tab, np.int32)[g] << 8)
-    occupied = (g > 0).any(axis=1).reshape(nbx, nby, nbz)
-    dist = chebyshev_distance_field(occupied)
-    words = pack_nibbles(dist.reshape(-1))
-    pad = 4096 if len(words) <= 4096 else 16384
-    dist_planes = pack_words_to_bytes_f32(words, pad_to=pad)
+
+def world_y_max(grid: np.ndarray) -> np.int32:
     solid_y = np.nonzero(grid.any(axis=(0, 2)))[0]
-    y_max = int(solid_y.max()) + 1 if len(solid_y) else 0
-    return rows, dist_planes, np.int32(y_max)
+    return np.int32(int(solid_y.max()) + 1 if len(solid_y) else 0)
 
 
 def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
     """Build the device Scene from a dense material grid + palette."""
     albedo, flags, meta = palette_arrays(pal)
-    rows, occ, y_max = build_bricks(grid, flags)
     put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
     return Scene(
         mat=put(grid),
@@ -150,9 +154,8 @@ def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
         albedo=put(albedo),
         flags=put(flags),
         metadata=put(meta),
-        brick_rows=put(rows),
-        brick_dist=put(occ),
-        y_max=put(y_max),
+        grid_enc=put(build_grid_enc(grid)),
+        y_max=put(world_y_max(grid)),
     )
 
 
@@ -215,16 +218,14 @@ def apply_dirty(
                     blk = tree.get_block((x0 + dx, y0 + dy, z0 + dz))
                     mat[x0 + dx, y0 + dy, z0 + dz] = pal.id_for(blk) if not blk.is_air else 0
     albedo, flags, meta = palette_arrays(pal)
-    rows, occ, y_max = build_bricks(mat, flags)
     return Scene(
         mat=jnp.asarray(mat),
         macro=jnp.asarray(build_macro(mat)),
         albedo=jnp.asarray(albedo),
         flags=jnp.asarray(flags),
         metadata=jnp.asarray(meta),
-        brick_rows=jnp.asarray(rows),
-        brick_dist=jnp.asarray(occ),
-        y_max=jnp.asarray(y_max),
+        grid_enc=jnp.asarray(build_grid_enc(mat)),
+        y_max=jnp.asarray(world_y_max(mat)),
     )
 
 

@@ -53,8 +53,7 @@ def shard_scene_spatial(scene: Scene, mesh: Mesh) -> Scene:
         albedo=jax.device_put(scene.albedo, rep),
         flags=jax.device_put(scene.flags, rep),
         metadata=jax.device_put(scene.metadata, rep),
-        brick_rows=jax.device_put(scene.brick_rows, rep),
-        brick_dist=jax.device_put(scene.brick_dist, rep),
+        grid_enc=jax.device_put(scene.grid_enc, mat_sh),
         y_max=jax.device_put(scene.y_max, rep),
     )
 
@@ -89,7 +88,7 @@ def render_rays_spatial(
     scene_specs = Scene(
         mat=P(SPACE_AXIS, None, None),
         macro=P(), albedo=P(), flags=P(), metadata=P(),
-        brick_rows=P(), brick_dist=P(), y_max=P(),
+        grid_enc=P(SPACE_AXIS, None, None), y_max=P(),
     )
 
     @functools.partial(

@@ -1,39 +1,35 @@
-"""Fast brick-hierarchical renderer — the performance path.
+"""Fast renderer — the performance path.
 
-Same semantics as render/renderer.py (which is itself oracle-validated), but
-built around what TPUs are actually fast at. Profiling on a v5e chip showed the
-naive march is bound by XLA's scalar gather (~1e8 lookups/s, ~9.7 ms per 1M
-lanes), so this path eliminates per-crossing gathers:
+Same semantics as render/renderer.py (which is oracle-validated), structured
+around measured TPU realities: XLA's per-lane gather costs ~0.5 ms per 262K
+lanes regardless of table, loop iterations at full width cost ~1 ms each, and
+worst-case lanes dominate a lockstep loop. Three mechanisms:
 
-  1. analytic air skips — everything above the world's max solid y, outside the
-     grid window, or inside an empty 4^3 brick is provably air; the DDA is
-     bulk-advanced to the exit of the enclosing empty box in O(1) arithmetic
-     (no lookup per crossing), with the skipped crossing count tracked exactly
-     for step-budget parity;
-  2. brick occupancy tests via the MXU one-hot word lookup
-     (ops/mxu_lookup.py, ~8e8 lookups/s) instead of gathers — the device
-     analog of the reference tree's bitmap empty-space skip
-     (low_res.frag:520-524);
-  3. on entering an occupied brick, ONE row gather fetches the entire 4^3
-     brick payload (64 x (mat | flags<<8)); all fine crossings inside the brick
-     then resolve materials from the in-register row by one-hot selection —
-     zero further memory traffic.
+  1. **Distance-encoded grid** (core/flatten.py Scene.grid_enc): ONE u8 gather
+     per iteration returns either the cell's material (solid) or a certified
+     Chebyshev all-air radius (air). Air lanes bulk-advance their DDA through
+     the whole (2d-1)^3 empty box in closed form — the hierarchical
+     generalization of the reference tree's bitmap empty-space skip
+     (low_res.frag:520-524) — so typical rays finish in ~30-80 iterations
+     instead of the 300-step budget.
+  2. **Analytic exits**: rays above the world's max solid y moving up, or
+     outside the grid window moving away, terminate immediately; rays outside
+     moving toward the window bulk-advance through the exterior slab.
+  3. **Ray compaction**: full-width iterations run only while > N/8 lanes are
+     active; survivors are gathered into a compact array (recursively N/64,
+     ...), drained, and scattered back — the straggler tail (grazing rays that
+     legitimately need ~300 steps) stops taxing the full width.
 
-The march alternates an empty-space subloop (cheap body) with a brick-resolve
-phase (row fetch + bounded fine loop), so expensive work runs once per occupied
-brick entered (typically 1-3 per ray) rather than once per crossing (~40-300).
-
-Exactness vs the reference path: the bulk advance reproduces sequential
-stepping's cell/tmax state exactly (sums are order-independent); the only
-divergences are (a) floating-point near-ties at brick corners, where a crossing
-within 1 ULP of a boundary may resolve differently, and (b) rays frozen by the
-step budget mid-air, which shade as sky either way. Tests bound (a) with a
-small pixel budget.
+Exactness vs the reference path: bulk advances reproduce sequential stepping's
+cell/tmax state (order-independent sums); divergences are FP near-ties at box
+corners and budget-frozen mid-air rays (sky either way) — tests bound both
+with a small pixel budget.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +37,6 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..core.flatten import Scene
 from ..core.types import Properties
-from ..ops.mxu_lookup import mxu_nibble_lookup
 from .camera import Camera, ray_directions
 from .renderer import (
     _March,
@@ -55,68 +50,52 @@ from .renderer import (
     shade,
 )
 
-_BIG = 1 << 20  # "infinite" AABB bound (cells); advances are clamped anyway
+_BIG = 1 << 20  # "infinite" AABB bound (cells)
 _MAX_JUMP = 512  # max crossings consumed per bulk advance
 
 
-def _brick_lin(scene: Scene, cell):
-    nbx, nby, nbz = scene.brick_dims
-    b = cell >> 2
-    lin = (b[:, 0] * nby + b[:, 1]) * nbz + b[:, 2]
-    return jnp.clip(lin, 0, nbx * nby * nbz - 1)
+def _gather_enc(scene: Scene, cell):
+    """The one gather: distance-encoded voxel value at integer cells.
 
-
-def _row_select(row, off):
-    """row: i32[N, 64], off: i32[N] in [0,64) -> i32[N] (one-hot reduce; no
-    gather)."""
-    oh = (off[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(row.dtype)
-    return (row * oh).sum(axis=1)
-
-
-def _offset_in_brick(cell):
-    return ((cell[:, 0] & 3) << 4) | ((cell[:, 1] & 3) << 2) | (cell[:, 2] & 3)
-
-
-def lookup_mat16(scene: Scene, cell):
-    """mat | flags<<8 at integer cells (single row gather); air outside."""
+    Wraps &1023 (reference address-digest behavior); outside the window
+    returns air with a minimal license (the outside-slab rule supersedes it).
+    """
     Sx, Sy, Sz = scene.shape3
     c = cell & 1023
     inside = (c[:, 0] < Sx) & (c[:, 1] < Sy) & (c[:, 2] < Sz)
-    row = jnp.take(scene.brick_rows, jnp.where(inside, _brick_lin(scene, c), 0), axis=0)
-    m16 = _row_select(row, _offset_in_brick(c))
-    return jnp.where(inside, m16, 0)
+    lin = (c[:, 0] * Sy + c[:, 1]) * Sz + c[:, 2]
+    lin = jnp.where(inside, lin, 0)
+    v = jnp.take(scene.grid_enc.reshape(-1), lin).astype(jnp.int32)
+    return jnp.where(inside, v, 129)  # air, d >= 1
 
 
-class _FastCarry(NamedTuple):
-    s: _March
-    i: jnp.ndarray  # outer round counter
+def lookup_mat_flags(scene: Scene, cell):
+    """(mat, flags) at integer cells; air outside the window."""
+    v = _gather_enc(scene, cell)
+    mat = jnp.where(v < 128, v, 0)
+    return mat, jnp.take(scene.flags, mat)
 
 
-def _aabb_advance(s: _March, lo, hi, mask, budget):
+def _aabb_advance_bounds(s: _March, lo, hi, mask, budget):
     """Advance masked lanes' DDA to the exit of the all-air AABB [lo, hi]
-    (inclusive fine-cell bounds), exactly as sequential stepping would.
-
-    Returns the updated _March. The advance consumes >= 1 crossing; the skipped
-    crossing count is added to ``steps`` so budgets behave like the
-    one-crossing-at-a-time path.
-    """
+    (inclusive cell bounds), exactly as sequential stepping would. A lane with
+    lo == hi == cell performs precisely one ordinary DDA step, so this is the
+    uniform stepper for air lanes at any distance."""
     f32 = s.dir.dtype
     istep = s.step.astype(jnp.int32)
-    # crossings needed to exit the box per axis (>= 1)
     n = jnp.where(istep > 0, hi + 1 - s.cell, s.cell - lo + 1)
     n = jnp.clip(n, 1, _MAX_JUMP)
     t_exit = s.tmax + (n - 1).astype(f32) * s.abs_delta
     m = _argmin_axis(t_exit)
     oh = _onehot(m, f32)
     t_m = _get(t_exit, m)
-    # crossings on the other axes that occur before t_m
     c = jnp.where(
         t_m[:, None] >= s.tmax,
         jnp.floor((t_m[:, None] - s.tmax) / s.abs_delta).astype(jnp.int32) + 1,
         0,
     )
     c = jnp.minimum(c, n - 1)  # stay inside the box on non-exit axes
-    c = jnp.where(oh > 0, n, c)  # the exit axis takes its full count
+    c = jnp.where(oh > 0, n, c)
     c = jnp.maximum(c, 0)
 
     mask3 = mask[:, None]
@@ -131,152 +110,62 @@ def _aabb_advance(s: _March, lo, hi, mask, budget):
     )
 
 
-def _classify_lanes(scene: Scene, s: _March, budget):
-    """Per-lane situation flags for the empty-space march."""
+def _march_body(scene: Scene, s: _March, enc, cfg: RenderConfig, budget, shadow: bool, time_s):
+    """One unified march iteration: process the current cell (materials / hit
+    via the reference semantics), then advance air lanes through their
+    certified empty box (a plain DDA step when the box is a single cell)."""
     Sx, Sy, Sz = scene.shape3
-    shape = jnp.asarray([Sx, Sy, Sz], jnp.int32)[None, :]
     istep = s.step.astype(jnp.int32)
+    active = ~s.done
+
+    # ---- current-cell processing (identical to the reference-path body)
+    mat = jnp.where(enc < 128, enc, 0)
+    fl = jnp.take(scene.flags, mat)
+    if shadow:
+        liquid = (fl & int(Properties.LIQUID)) > 0
+        is_hit = active & (mat != 0) & ~liquid
+        is_refl = is_hit & False
+        is_refr = is_hit & False
+    else:
+        is_refl, is_refr, is_hit = classify(fl, mat, active, cfg)
+    done = s.done | is_hit
+    s = s._replace(mat=jnp.where(active, mat, s.mat), done=done)
+
+    if not shadow:
+        def _with_materials(s):
+            out = material_step(s, is_refl, is_refr, fl, cfg, time_s)
+            (dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, refl) = out
+            return s._replace(
+                dir=dirx, step=stepx, abs_delta=absx, tmax=tmaxx,
+                seg_origin=segx, last_t=last_t, color_mod=cmod, ior=ior,
+                reflected=refl,
+            )
+
+        s = jax.lax.cond(
+            jnp.any(is_refl | is_refr), _with_materials, lambda s: s, s
+        )
+        istep = s.step.astype(jnp.int32)
+
+    # ---- exit rules
+    shape = jnp.asarray([Sx, Sy, Sz], jnp.int32)[None, :]
     out_pos = s.cell >= shape
     out_neg = s.cell < 0
     inside = ~(out_pos | out_neg).any(axis=1)
     moving_away = ((out_pos & (istep > 0)) | (out_neg & (istep < 0))).any(axis=1)
-    in_sky = s.cell[:, 1] > scene.y_max
-    sky_up = in_sky & (istep[:, 1] > 0)
-    active = ~s.done
-    exit_now = active & (moving_away | sky_up)
-    # Chebyshev brick-distance: 0 = occupied (park); d >= 1 licenses a jump
-    # through the (2d-1)^3-brick box centered on the current brick
-    dist = mxu_nibble_lookup(scene.brick_dist, _brick_lin(scene, s.cell))
-    parked = active & ~exit_now & inside & ~in_sky & (dist == 0)
-    return inside, in_sky, exit_now, parked, out_pos, out_neg, dist
+    sky_up = (s.cell[:, 1] > scene.y_max) & (istep[:, 1] > 0)
+    s = s._replace(done=s.done | (~s.done & (moving_away | sky_up)))
 
-
-def _empty_march(scene: Scene, s: _March, budget):
-    """Advance all lanes through provably-empty space until every active lane
-    is parked at an occupied brick (or done). The lane classification (incl.
-    the MXU occupancy lookup) is carried so cond() stays cheap."""
-    Sx, Sy, Sz = scene.shape3
-
-    def cond(carry):
-        s, cls, it = carry
-        parked = cls[3]
-        return (it < 2 * budget) & jnp.any(~s.done & ~parked)
-
-    def body(carry):
-        s, cls, it = carry
-        inside, in_sky, exit_now, parked, out_pos, out_neg, dist = cls
-        s = s._replace(done=s.done | exit_now)
-        advance = ~s.done & ~parked
-
-        # empty-region AABB per lane, by priority: sky slab > outside slab >
-        # distance-certified empty box around the current brick
-        b = s.cell >> 2
-        r = (jnp.maximum(dist, 1) - 1)[:, None]
-        brick_lo = (b - r) << 2
-        brick_hi = ((b + r) << 2) + 3
-        big_lo = jnp.full_like(s.cell, -_BIG)
-        big_hi = jnp.full_like(s.cell, _BIG)
-        # outside-window slab along each out axis
-        shape = jnp.asarray([Sx, Sy, Sz], jnp.int32)[None, :]
-        out_lo = jnp.where(out_pos, shape, jnp.where(out_neg, -_BIG, -_BIG))
-        out_hi = jnp.where(out_pos, _BIG, jnp.where(out_neg, -1, _BIG))
-        outside = ~inside
-        sky_lo = jnp.concatenate(
-            [
-                jnp.full((s.cell.shape[0], 1), -_BIG, jnp.int32),
-                jnp.broadcast_to((scene.y_max + 1)[None, None], (s.cell.shape[0], 1)).astype(jnp.int32),
-                jnp.full((s.cell.shape[0], 1), -_BIG, jnp.int32),
-            ],
-            axis=1,
-        )
-        lo = jnp.where(
-            in_sky[:, None], sky_lo, jnp.where(outside[:, None], out_lo, brick_lo)
-        )
-        hi = jnp.where(
-            in_sky[:, None], big_hi, jnp.where(outside[:, None], out_hi, brick_hi)
-        )
-        s = _aabb_advance(s, lo, hi, advance, budget)
-        return s, _classify_lanes(scene, s, budget), it + 1
-
-    cls0 = _classify_lanes(scene, s, budget)
-    s, cls, iters = jax.lax.while_loop(cond, body, (s, cls0, jnp.asarray(0, jnp.int32)))
-    exit_now, parked = cls[2], cls[3]
-    # anything not parked after the loop is either done or frozen in air
-    # (iteration cap / budget): finish it as sky rather than looping forever
-    s = s._replace(done=s.done | (exit_now | (~parked & ~s.done)))
-    undone = parked & ~s.done
-    return s, undone, iters
-
-
-def _brick_phase(scene: Scene, s: _March, parked, cfg: RenderConfig, budget, shadow: bool):
-    """Resolve one occupied brick per parked lane: fetch its row once, then
-    fine-march in registers until hit / brick exit / budget."""
-    N = s.cell.shape[0]
-    blin = _brick_lin(scene, s.cell)
-    row = jnp.take(scene.brick_rows, jnp.where(parked, blin, 0), axis=0)
-    brick0 = s.cell >> 2
-
-    def cond(carry):
-        s, fine, it = carry
-        return (it < 14) & jnp.any(fine)
-
-    def body(carry):
-        s, fine, it = carry
-        m16 = _row_select(row, _offset_in_brick(s.cell))
-        mat = m16 & 0xFF
-        fl = m16 >> 8
-        if shadow:
-            # shadow rays: LIQUID blocks are transparent (frag:384); any other
-            # block occludes
-            liquid = (fl & int(Properties.LIQUID)) > 0
-            is_hit = fine & (mat != 0) & ~liquid
-            is_refl = is_hit & False
-            is_refr = is_hit & False
-        else:
-            is_refl, is_refr, is_hit = classify(fl, mat, fine, cfg)
-        done = s.done | is_hit
-        s2 = s._replace(mat=jnp.where(fine, mat, s.mat), done=done)
-
-        if not shadow:
-            # material math is ~half the fine-body cost but fires on a tiny
-            # fraction of iterations; branch around it when no lane needs it
-            def _with_materials(s2):
-                (dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, refl) = (
-                    material_step(s2, is_refl, is_refr, fl, cfg)
-                )
-                return s2._replace(
-                    dir=dirx, step=stepx, abs_delta=absx, tmax=tmaxx,
-                    seg_origin=segx, last_t=last_t, color_mod=cmod, ior=ior,
-                    reflected=refl,
-                )
-
-            s2 = jax.lax.cond(
-                jnp.any(is_refl | is_refr), _with_materials, lambda s2: s2, s2
-            )
-
-        # fine DDA step for lanes still marching in this brick
-        march = fine & ~s2.done
-        ax = _argmin_axis(s2.tmax)
-        oh = _onehot(ax, s2.dir.dtype)
-        t_cross = _get(s2.tmax, ax)
-        m3 = march[:, None]
-        cell = jnp.where(m3, s2.cell + (oh * s2.step).astype(jnp.int32), s2.cell)
-        s2 = s2._replace(
-            cell=cell,
-            tmax=jnp.where(m3, s2.tmax + oh * s2.abs_delta, s2.tmax),
-            last_axis=jnp.where(march, ax, s2.last_axis),
-            last_t=jnp.where(march, t_cross, s2.last_t),
-            steps=s2.steps + march.astype(jnp.int32),
-        )
-        over = march & (s2.steps >= budget)
-        s2 = s2._replace(done=s2.done | over)
-        left = (s2.cell >> 2 != brick0).any(axis=1)
-        fine2 = march & ~left & ~over
-        # lanes that left the brick return to in-flight state (mat = 0 again)
-        s2 = s2._replace(mat=jnp.where(march & left & ~s2.done, 0, s2.mat))
-        return s2, fine2, it + 1
-
-    s, _, _ = jax.lax.while_loop(cond, body, (s, parked, jnp.asarray(0, jnp.int32)))
+    # ---- advance air lanes through their empty box
+    march = ~s.done
+    r = jnp.maximum(enc - 128 - 1, 0)[:, None]  # license radius (0 => 1 step)
+    box_lo = s.cell - r
+    box_hi = s.cell + r
+    # outside the window: slab up to the window face (overrides the license)
+    out_lo = jnp.where(out_pos, shape, -_BIG)
+    out_hi = jnp.where(out_neg, -1, _BIG)
+    lo = jnp.where(inside[:, None], box_lo, out_lo)
+    hi = jnp.where(inside[:, None], box_hi, out_hi)
+    s = _aabb_advance_bounds(s, lo, hi, march, budget)
     return s
 
 
@@ -287,57 +176,40 @@ def fast_march(
     budget,
     shadow: bool = False,
     compact_fraction: int = 8,
+    time_s=None,
 ):
-    """The full phased march: alternate empty-space advance and brick resolve,
-    with ray compaction for the straggler tail.
-
-    Every round costs O(N) regardless of how many lanes still march (gathers
-    and the fine loop can't be masked away), and worst-case lanes (grazing
-    rays) need ~20-30 rounds while most finish in 1-3. So: run full-width
-    rounds only until the active count drops below N/compact_fraction, then
-    gather the survivors into a compact array, drain them there, and scatter
-    the results back — the classic wavefront-compaction trick, shapes static
-    throughout.
-    """
-
+    """The full march with straggler compaction. Returns (state, iterations)."""
     N = state.cell.shape[0]
     M = _compact_size_static(N, compact_fraction)
 
     def cond_many(carry):
         s, i = carry
-        active = ~s.done & (s.mat == 0)
-        # round cap: worst case is a long traversal of occupied-but-transparent
-        # (liquid) bricks at >= 2 crossings per round within the step budget
-        return ((i >> 16) < 192) & (jnp.sum(active) > M)
+        return (i < 2048) & (jnp.sum(~s.done) > M)
 
     def cond_all(carry):
         s, i = carry
-        return ((i >> 16) < 192) & jnp.any(~s.done & (s.mat == 0))
+        return (i < 2048) & jnp.any(~s.done)
 
     def body(carry):
         s, i = carry
-        s, parked, it = _empty_march(scene, s, budget)
-        s = _brick_phase(scene, s, parked, cfg, budget, shadow)
-        return s, i + (1 << 16) + it
-        # ^ i packs (outer rounds << 16 | total empty iterations) for stats
+        enc = _gather_enc(scene, s.cell)
+        s = _march_body(scene, s, enc, cfg, budget, shadow, time_s)
+        return s, i + 1
 
-    if M >= N:  # too small to be worth compacting
-        state, i = jax.lax.while_loop(
-            cond_all, body, (state, jnp.asarray(0, jnp.int32))
-        )
+    if M >= N:
+        state, i = jax.lax.while_loop(cond_all, body, (state, jnp.asarray(0, jnp.int32)))
         return state, i
 
-    # phase 1: full width until few lanes remain
     state, i = jax.lax.while_loop(cond_many, body, (state, jnp.asarray(0, jnp.int32)))
 
-    # phase 2: compact the stragglers and recurse (multi-stage: N/8, N/64, ...)
-    active = ~state.done & (state.mat == 0)
+    # compact the stragglers and recurse (N/8, N/64, ...)
+    active = ~state.done
     count = jnp.sum(active)
     (idx,) = jnp.nonzero(active, size=M, fill_value=0)
     valid = jnp.arange(M) < count
     sub = jax.tree_util.tree_map(lambda a: a[idx], state)
     sub = sub._replace(done=sub.done | ~valid)
-    sub, i2 = fast_march(scene, sub, cfg, budget, shadow, compact_fraction)
+    sub, i2 = fast_march(scene, sub, cfg, budget, shadow, compact_fraction, time_s)
     scatter_idx = jnp.where(valid, idx, N)  # out-of-bounds rows are dropped
     state = jax.tree_util.tree_map(
         lambda full, part: full.at[scatter_idx].set(part, mode="drop"),
@@ -372,7 +244,7 @@ def _init_state(origin, dirs, ior, start_t=None):
         step=step,
         abs_delta=abs_delta,
         tmax=tmax,
-        seg_origin=origin.astype(f32),
+        seg_origin=origin,
         last_t=jnp.zeros(N, f32),
         last_axis=jnp.zeros(N, jnp.int32),
         color_mod=jnp.ones((N, 3), f32),
@@ -406,8 +278,8 @@ def _shadow_march_fast(scene: Scene, p, cell, last_axis, step, cfg, sun, active)
         done=~active,
         steps=jnp.zeros(N, jnp.int32),
     )
-    # the shadow loop starts by stepping (frag:383-387), i.e. the origin cell
-    # (the hit block itself) is not re-tested: take one DDA step first
+    # the shadow loop starts by stepping (frag:383-387): the hit block itself
+    # is not re-tested, so take one plain DDA step before the main march
     ax = _argmin_axis(s.tmax)
     oh2 = _onehot(ax, p.dtype)
     t_cross = _get(s.tmax, ax)
@@ -419,29 +291,25 @@ def _shadow_march_fast(scene: Scene, p, cell, last_axis, step, cfg, sun, active)
         last_t=jnp.where(active, t_cross, s.last_t),
         steps=s.steps + active.astype(jnp.int32),
     )
-    # evaluate the first stepped-into cell, then continue with the fast march
-    m16 = lookup_mat16(scene, s.cell)
-    first_mat = m16 & 0xFF
-    first_fl = m16 >> 8
-    first_hit = active & (first_mat != 0) & ((first_fl & int(Properties.LIQUID)) == 0)
-    s = s._replace(
-        mat=jnp.where(first_hit, first_mat, 0),
-        done=s.done | first_hit,
+    s, _ = fast_march(
+        scene, s, cfg, jnp.asarray(cfg.shadow_steps, jnp.int32), shadow=True
     )
-    s, _ = fast_march(scene, s, cfg, jnp.asarray(cfg.shadow_steps, jnp.int32), shadow=True)
     return active & (s.mat != 0)
 
 
-def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig, start_t=None):
+def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig, start_t=None, time_s=None):
     """Fast-path render of arbitrary rays -> (rgb [N,3], aux).
 
     ``start_t`` (f32[N], optional) fast-forwards each ray by a known-safe
-    parameter distance before marching (progressive-refinement seeding).
+    parameter distance before marching (progressive-refinement seeding);
+    ``time_s`` is the traced animation clock.
     """
     f32 = jnp.float32
     origin = jnp.asarray(origin, f32)
     dirs = jnp.asarray(dirs, f32)
     N = dirs.shape[0]
+    if time_s is None:
+        time_s = cfg.time
 
     sun = jnp.asarray(cfg.sun_dir, f32)
     sun = sun / jnp.linalg.norm(sun)
@@ -449,28 +317,28 @@ def render_rays_fast(scene: Scene, origin, dirs, cfg: RenderConfig, start_t=None
     # starting-cell specials (frag:299-307), evaluated at the (possibly
     # fast-forwarded) start point
     s = _init_state(origin, dirs, jnp.ones(N, f32), start_t=start_t)
-    m16_0 = lookup_mat16(scene, s.cell)
-    mat0 = m16_0 & 0xFF
-    flags0 = m16_0 >> 8
+    mat0, flags0 = lookup_mat_flags(scene, s.cell)
     refr0 = (flags0 & int(Properties.REFRACTIVE)) > 0
     raw0 = (mat0 != 0) & ~refr0
     ior = jnp.where((mat0 != 0) & refr0, 1.1, 1.0).astype(f32)
-    s = s._replace(ior=ior)
-    s = s._replace(done=raw0, mat=jnp.where(raw0, mat0, 0))
-    s, stats = fast_march(scene, s, cfg, jnp.asarray(cfg.max_steps, jnp.int32), shadow=False)
+    s = s._replace(ior=ior, done=raw0, mat=jnp.where(raw0, mat0, 0))
+
+    s, iters = fast_march(
+        scene, s, cfg, jnp.asarray(cfg.max_steps, jnp.int32), shadow=False,
+        time_s=time_s,
+    )
 
     def shadow_fn(p, cell, last_axis, step, active):
         return _shadow_march_fast(scene, p, cell, last_axis, step, cfg, sun, active)
 
     col, aux = shade(scene, s, raw0, mat0, sun, cfg, shadow_fn)
-    aux["march_rounds"] = stats >> 16
-    aux["march_empty_iters"] = stats & 0xFFFF
+    aux["march_iters"] = iters
     return col, aux
 
 
-def render_image_fast(scene: Scene, camera: Camera, cfg: RenderConfig):
+def render_image_fast(scene: Scene, camera: Camera, cfg: RenderConfig, time_s=None):
     dirs = ray_directions(camera, cfg.width, cfg.height, cfg.fov_degrees)
-    col, _ = render_rays_fast(scene, camera.pos, dirs, cfg)
+    col, _ = render_rays_fast(scene, camera.pos, dirs, cfg, time_s=time_s)
     img = col.reshape(cfg.height, cfg.width, 3)
     if cfg.crosshair:
         yy = jnp.arange(cfg.height, dtype=jnp.float32)[:, None]
@@ -481,13 +349,13 @@ def render_image_fast(scene: Scene, camera: Camera, cfg: RenderConfig):
     return img
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=64)
 def _render_fast_jit_for(cfg: RenderConfig):
-    return jax.jit(lambda sc, cam: render_image_fast(sc, cam, cfg))
+    return jax.jit(lambda sc, cam, t: render_image_fast(sc, cam, cfg, time_s=t))
 
 
 def render_fast_jit(scene: Scene, camera: Camera, cfg: RenderConfig):
-    return _render_fast_jit_for(cfg)(scene, camera)
+    from dataclasses import replace as _rep
+
+    key = _rep(cfg, time=0.0)
+    return _render_fast_jit_for(key)(scene, camera, jnp.float32(cfg.time))

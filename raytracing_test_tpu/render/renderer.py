@@ -160,14 +160,17 @@ def classify(flags, mat, active, cfg: RenderConfig):
     return is_refl, is_refr, solid & ~is_refl & ~is_refr
 
 
-def material_step(s: "_March", is_refl, is_refr, flags, cfg: RenderConfig):
+def material_step(s: "_March", is_refl, is_refr, flags, cfg: RenderConfig, time_s=None):
     """Apply reflection/refraction state updates for the masked lanes.
 
     Returns (dir, step, abs_delta, tmax, seg_origin, last_t, color_mod, ior,
     reflected) — the post-material marching state, unchanged where unmasked.
     Shared by the reference-path march (_primary_march) and the fast brick
-    march (render/fast.py).
+    march (render/fast.py). ``time_s`` is the (traced) animation clock —
+    passing it as data keeps per-frame renders on one compiled executable.
     """
+    if time_s is None:
+        time_s = cfg.time
     p = s.seg_origin + s.last_t[:, None] * s.dir
     oh = _onehot(s.last_axis, s.dir.dtype)
 
@@ -190,7 +193,7 @@ def material_step(s: "_March", is_refl, is_refr, flags, cfg: RenderConfig):
     cmod = jnp.where(is_refr[:, None], cmod * tint, cmod)
     bend = is_refr & (s.ior != 1.1)
     normal = oh * step_r  # points along travel through the face
-    wob = jnp.sin((cfg.time + p[:, 0] * 0.2 - p[:, 2] * 0.1) * 10.0) * 0.2
+    wob = jnp.sin((time_s + p[:, 0] * 0.2 - p[:, 2] * 0.1) * 10.0) * 0.2
     normal = jnp.where(
         (bend & liquid)[:, None],
         normal + wob[:, None] * jnp.asarray([1.0, 0.0, 0.0], s.dir.dtype)[None, :],
@@ -218,7 +221,7 @@ def material_step(s: "_March", is_refl, is_refr, flags, cfg: RenderConfig):
     return dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, reflected
 
 
-def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig, lookup_fn=None):
+def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig, lookup_fn=None, time_s=None):
     """The unified primary+material march loop.
 
     ``lookup_fn(cell) -> mat`` overrides the voxel lookup — parallel/spatial.py
@@ -269,7 +272,7 @@ def _primary_march(scene: Scene, origin, dirs, cfg: RenderConfig, lookup_fn=None
         done = s.done | is_hit
 
         (dirx, stepx, absx, tmaxx, segx, last_t, cmod, ior, reflected) = (
-            material_step(s, is_refl, is_refr, flags, cfg)
+            material_step(s, is_refl, is_refr, flags, cfg, time_s)
         )
 
         # ---- DDA step for rays still marching (nextIntersectDDA)
@@ -432,7 +435,7 @@ def shade(scene: Scene, s: "_March", raw0, mat0, sun, cfg: RenderConfig, shadow_
     return col, aux
 
 
-def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
+def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig, time_s=None):
     """Render arbitrary rays: returns (rgb [N,3], aux dict of debug channels).
 
     This is the semantically-reference path (single-level DDA); render/fast.py
@@ -441,7 +444,7 @@ def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
     f32 = jnp.float32
     origin = jnp.asarray(origin, f32)
     dirs = jnp.asarray(dirs, f32)
-    s, raw0, mat0, sun = _primary_march(scene, origin, dirs, cfg)
+    s, raw0, mat0, sun = _primary_march(scene, origin, dirs, cfg, time_s=time_s)
 
     def shadow_fn(p, cell, last_axis, step, active):
         return _shadow_march(scene, p, cell, last_axis, step, cfg, sun, active)
@@ -449,10 +452,10 @@ def render_rays(scene: Scene, origin, dirs, cfg: RenderConfig):
     return shade(scene, s, raw0, mat0, sun, cfg, shadow_fn)
 
 
-def render_image(scene: Scene, camera: Camera, cfg: RenderConfig):
+def render_image(scene: Scene, camera: Camera, cfg: RenderConfig, time_s=None):
     """Full-frame render: [H, W, 3] float32 in [0, ~1.3]."""
     dirs = ray_directions(camera, cfg.width, cfg.height, cfg.fov_degrees)
-    col, _ = render_rays(scene, camera.pos, dirs, cfg)
+    col, _ = render_rays(scene, camera.pos, dirs, cfg, time_s=time_s)
     img = col.reshape(cfg.height, cfg.width, 3)
     if cfg.crosshair:
         # dist(fragCoord, mousePos) <= 3 -> white (frag:259-262); mouse_px is in
@@ -470,11 +473,14 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _render_jit_for(cfg: RenderConfig):
-    # cached per-config so repeated calls reuse the compiled executable
-    # (a fresh lambda per call would recompile every frame)
-    return jax.jit(lambda sc, cam: render_image(sc, cam, cfg))
+    # cached per-config so repeated calls reuse the compiled executable; the
+    # animation clock is passed as DATA so time-varying frames do not recompile
+    return jax.jit(lambda sc, cam, t: render_image(sc, cam, cfg, time_s=t))
 
 
 def render_jit(scene: Scene, camera: Camera, cfg: RenderConfig):
-    """Jitted full-frame render (cfg is static via the compile cache)."""
-    return _render_jit_for(cfg)(scene, camera)
+    """Jitted full-frame render (cfg minus the clock is the compile key)."""
+    from dataclasses import replace as _rep
+
+    key = _rep(cfg, time=0.0)
+    return _render_jit_for(key)(scene, camera, jnp.float32(cfg.time))

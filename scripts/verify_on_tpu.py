@@ -10,10 +10,13 @@ Run: python scripts/verify_on_tpu.py [--res 512]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -24,6 +27,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache — recompiles of these big programs are slow
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     dev = jax.devices()[0]
     print(f"device: {dev}")

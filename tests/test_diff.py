@@ -171,3 +171,45 @@ def test_differentiable_ao():
     g = jax.jit(jax.grad(loss))(dscene)
     assert float(jnp.abs(g.density).sum()) > 0
     assert np.isfinite(np.asarray(g.density)).all()
+
+
+def test_guided_diff_matches_blind():
+    """Surface-guided sampling must reproduce the blind volumetric render
+    (rgb) and its surface-cell density gradients."""
+    grid, pal = _simple_world()
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 8.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    hard = flatten.scene_from_grid(grid, pal)
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    dirs = ray_directions(cam, 12, 12)
+    blind = np.asarray(
+        diff.render_rays_diff(dscene, cam.pos, dirs, num_steps=96, sky=True)
+    )
+    guided = np.asarray(
+        diff.render_rays_diff_guided(dscene, hard, cam.pos, dirs, num_steps=24, sky=True)
+    )
+    np.testing.assert_allclose(guided, blind, atol=2e-4)
+
+    def loss_b(s):
+        return jnp.mean(diff.render_rays_diff(s, cam.pos, dirs, num_steps=96, sky=False))
+
+    def loss_g(s):
+        return jnp.mean(
+            diff.render_rays_diff_guided(s, hard, cam.pos, dirs, num_steps=24, sky=False)
+        )
+
+    gb = jax.jit(jax.grad(loss_b))(dscene)
+    gg = jax.jit(jax.grad(loss_g))(dscene)
+    solid = np.asarray(grid > 0)
+    np.testing.assert_allclose(
+        np.asarray(gg.density)[solid], np.asarray(gb.density)[solid], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg.albedo)[solid], np.asarray(gb.albedo)[solid], atol=1e-5
+    )
