@@ -32,7 +32,9 @@ def _save(img: np.ndarray, path: str) -> None:
 
 
 def _mk_session(args) -> WorldSession:
-    wcfg = WorldConfig(width=args.world, length=args.world)
+    from ..config import world_for_size
+
+    wcfg = world_for_size(args.world)
     s = WorldSession(wcfg, use_native=not args.no_native)
     if args.pos:
         s.pos = np.asarray([float(v) for v in args.pos.split(",")], np.float64)

@@ -79,6 +79,14 @@ class FitConfig:
     resolution: int = 256
 
 
+def world_for_size(n: int, height: int = 128) -> WorldConfig:
+    """WorldConfig for an n x n column world with a fitting grid window
+    (BASELINE configs 1-4 scale: 64..512). The window is padded to the next
+    multiple of 64 up to the 1024 address-space limit."""
+    ext = min(((max(n, 16) + 63) // 64) * 64, 1024)
+    return WorldConfig(width=n, length=n, grid_shape=(ext, height, ext))
+
+
 DEFAULT_WORLD = WorldConfig()
 DEFAULT_CAMERA = CameraConfig()
 DEFAULT_RENDER = RenderConfig()
