@@ -110,11 +110,16 @@ def _aabb_advance_bounds(s: _March, lo, hi, mask, budget):
     )
 
 
-def _march_body(scene: Scene, s: _March, enc, cfg: RenderConfig, budget, shadow: bool, time_s):
+def _march_body(scene: Scene, s: _March, enc, cfg: RenderConfig, budget, shadow: bool, time_s, shape3=None):
     """One unified march iteration: process the current cell (materials / hit
     via the reference semantics), then advance air lanes through their
-    certified empty box (a plain DDA step when the box is a single cell)."""
-    Sx, Sy, Sz = scene.shape3
+    certified empty box (a plain DDA step when the box is a single cell).
+
+    ``shape3`` overrides the world-window extent for the exit rules — the
+    spatially-sharded handoff march (parallel/handoff.py) passes the GLOBAL
+    window while ``scene`` holds only the local slab.
+    """
+    Sx, Sy, Sz = shape3 if shape3 is not None else scene.shape3
     istep = s.step.astype(jnp.int32)
     active = ~s.done
 
