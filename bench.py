@@ -73,7 +73,7 @@ def main():
 
     def loss(ds, pos, d):
         rgb = diff.render_rays_diff_guided(
-            ds, scene, pos, d, num_steps=NUM_STEPS, sky=False
+            ds, scene, pos, d, num_steps=NUM_STEPS, sky=False, image_hw=(H, W)
         )
         return jnp.mean(rgb)
 
@@ -96,11 +96,20 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     rays_fb = H * W / dt
 
-    # secondary: hard forward renderer (full materials/shadows, fast path)
-    from raytracing_test_tpu.render import fast
+    # secondary: hard forward renderer (full materials/shadows) in the
+    # production coarse-to-fine mode (render/progressive.py — the reference's
+    # C11 scheme, enabled)
+    from raytracing_test_tpu.render import fast, progressive
 
     rcfg = RenderConfig(width=W, height=H)
-    fwd = jax.jit(lambda s, p, d: fast.render_rays_fast(s, p, d, rcfg)[0].sum())
+
+    def fwd_full(s, p, d):
+        depth = progressive.coarse_depth(s, cam, rcfg, 4)
+        seeds = progressive.seed_from_depth(depth, 4, H, W)
+        col, _ = fast.render_rays_fast(s, p, d, rcfg, start_t=seeds)
+        return col.sum()
+
+    fwd = jax.jit(fwd_full)
     float(np.asarray(fwd(scene, cam.pos, dirs_v[-1])))
     t0 = time.perf_counter()
     for k in range(iters):

@@ -71,6 +71,29 @@ def _gather_fields(scene: DiffScene, cell):
     return sigma * z, alb * z[:, None]
 
 
+def _pack_fields(scene: DiffScene):
+    """[V, 4] rows of (sigma, r, g, b). Row gathers are byte-throughput-bound
+    on this chip (~9 GB/s) while per-lane gathers cost ~9.7 ms/M lanes flat —
+    one packed row gather per scan step beats the separate sigma (lane) +
+    albedo (row) gathers ~2x, and its transpose is ONE scatter-add per step in
+    the backward instead of two."""
+    return jnp.concatenate(
+        [scene.density.reshape(-1, 1), scene.albedo.reshape(-1, 3)], axis=1
+    )
+
+
+def _gather_packed(packed, shape3, cell):
+    Sx, Sy, Sz = shape3
+    c = cell & 1023
+    inside = (c[:, 0] < Sx) & (c[:, 1] < Sy) & (c[:, 2] < Sz)
+    lin = (c[:, 0] * Sy + c[:, 1]) * Sz + c[:, 2]
+    lin = jnp.where(inside, lin, 0)
+    row = jnp.take(packed, lin, axis=0)
+    z = inside.astype(row.dtype)[:, None]
+    row = row * z
+    return row[:, 0], row[:, 1:]
+
+
 def render_rays_diff(
     scene: DiffScene,
     origin,
@@ -79,6 +102,7 @@ def render_rays_diff(
     sun_dir=(2.0, 1.0, 4.0),
     sky: bool = True,
     start_t=None,
+    remat=None,
 ):
     """Volumetric render of arbitrary rays -> rgb f32[N, 3]. Differentiable
     w.r.t. scene fields, ``origin`` and ``dirs``.
@@ -114,13 +138,16 @@ def render_rays_diff(
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
     istep = step.astype(jnp.int32)
 
+    packed = _pack_fields(scene)
+    shape3 = (Sx, Sy, Sz)
+
     def body(carry, _):
         cell, tmax, t_cur, trans, rgb = carry
         ax = _argmin_axis(tmax)
         oh = _onehot(ax, f32)
         t_next = _get(tmax, ax)
         dt = jnp.maximum(t_next - t_cur, 0.0)
-        sigma, alb = _gather_fields(scene, cell)
+        sigma, alb = _gather_packed(packed, shape3, cell)
         alpha = 1.0 - jnp.exp(-sigma * dt)
         rgb = rgb + (trans * alpha)[:, None] * alb
         trans = trans * (1.0 - alpha)
@@ -135,9 +162,14 @@ def render_rays_diff(
         jnp.ones(N, f32),
         jnp.zeros((N, 3), f32),
     )
-    body_ckpt = jax.checkpoint(body, prevent_cse=False)
+    # rematerialization is a memory/time trade: per-step remat re-gathers in
+    # the backward (~40 ms/step at 1M rays on v5e). Short guided windows save
+    # residuals instead (~32 B/ray/step); long blind marches remat.
+    if remat is None:
+        remat = num_steps > 48
+    body_s = jax.checkpoint(body, prevent_cse=False) if remat else body
     (cell, tmax, t_cur, trans, rgb), _ = jax.lax.scan(
-        body_ckpt, init, None, length=num_steps
+        body_s, init, None, length=num_steps
     )
 
     if sky:
@@ -156,21 +188,44 @@ def render_rays_diff_guided(
     margin: float = 3.0,
     sun_dir=(2.0, 1.0, 4.0),
     sky: bool = True,
+    image_hw=None,
+    coarse_factor: int = 4,
 ):
     """Surface-guided differentiable render: a (non-differentiable) hard-path
     forward march finds first-solid depths along the STRAIGHT rays (materials
     disabled), then the volumetric scan runs only a short window starting
     ``margin`` cells before each surface. ~10x fewer scan steps than blind
     marching at equal fidelity; empty-space gradients are culled (standard
-    occupancy-grid practice)."""
+    occupancy-grid practice).
+
+    ``image_hw=(H, W)``: when the rays form a camera image, the hard march is
+    itself seeded by a 1/coarse_factor-resolution depth pass (the reference's
+    progressive-refinement scheme, render/progressive.py) — ~2.5x faster at
+    equal hit depths for terrain-scale scenes; the fine march remains exact
+    from the conservative coarse seed."""
     from ..config import RenderConfig
-    from . import fast
+    from . import fast, progressive
 
     N = jnp.asarray(dirs).shape[0]
     cfg = RenderConfig(
         width=1, height=N, enable_materials=False, enable_shadows=False
     )
-    _, aux = fast.render_rays_fast(hard_scene, origin, dirs, cfg)
+    start_t = None
+    if image_hw is not None:
+        H, W = image_hw
+        ccfg = RenderConfig(
+            width=W, height=H, enable_materials=False, enable_shadows=False
+        )
+        cdirs = jnp.asarray(dirs).reshape(H, W, 3)[
+            coarse_factor // 2 :: coarse_factor, coarse_factor // 2 :: coarse_factor
+        ].reshape(-1, 3)
+        _, caux = fast.render_rays_fast(hard_scene, origin, cdirs, cfg)
+        o1 = jnp.asarray(origin, jnp.float32)
+        ct = jnp.linalg.norm(caux["hit_pos"] - o1[None, :], axis=1)
+        ct = jnp.where(caux["hit"], ct, 1e6)
+        depth = ct.reshape(H // coarse_factor, W // coarse_factor)
+        start_t = progressive.seed_from_depth(depth, coarse_factor, H, W)
+    _, aux = fast.render_rays_fast(hard_scene, origin, dirs, cfg, start_t=start_t)
     o = jnp.asarray(origin, jnp.float32)
     if o.ndim == 1:
         o = o[None, :]

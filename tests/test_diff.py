@@ -213,3 +213,42 @@ def test_guided_diff_matches_blind():
     np.testing.assert_allclose(
         np.asarray(gg.albedo)[solid], np.asarray(gb.albedo)[solid], atol=1e-5
     )
+
+
+def test_guided_diff_progressive_seeding_matches():
+    """image_hw= engages the coarse-depth-seeded hard march; results and
+    surface gradients must match the unseeded guided path."""
+    grid, pal = _simple_world()
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 8.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    hard = flatten.scene_from_grid(grid, pal)
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    H = W = 16
+    dirs = ray_directions(cam, W, H)
+    plain = np.asarray(
+        diff.render_rays_diff_guided(dscene, hard, cam.pos, dirs, num_steps=24, sky=True)
+    )
+    prog = np.asarray(
+        diff.render_rays_diff_guided(
+            dscene, hard, cam.pos, dirs, num_steps=24, sky=True, image_hw=(H, W)
+        )
+    )
+    np.testing.assert_allclose(prog, plain, atol=2e-4)
+
+    def loss_p(s):
+        return jnp.mean(
+            diff.render_rays_diff_guided(
+                s, hard, cam.pos, dirs, num_steps=24, sky=False, image_hw=(H, W)
+            )
+        )
+
+    g = jax.jit(jax.grad(loss_p))(dscene)
+    solid = np.asarray(grid > 0)
+    assert np.abs(np.asarray(g.density)[solid]).sum() > 0
+    assert not np.isnan(np.asarray(g.density)).any()
