@@ -85,7 +85,13 @@ def fit_world(
     params = jax.device_put(shardlib.init_params(grid_shape), rep)
     optimizer = optax.adam(fcfg.lr)
     opt_state = jax.device_put(optimizer.init(params), rep)
-    step_fn = shardlib.make_train_step(mesh, optimizer, num_steps=96)
+    if fcfg.guided:
+        step_fn = shardlib.make_train_step_guided(
+            mesh, optimizer, num_steps=fcfg.guided_steps
+        )
+    else:
+        step_fn = shardlib.make_train_step(mesh, optimizer, num_steps=96)
+    guide = None
 
     rng = np.random.default_rng(seed)
     # batch must divide evenly over devices
@@ -93,11 +99,20 @@ def fit_world(
     batch = (batch // ndev) * ndev
     losses = []
     for step in range(fcfg.steps):
+        if fcfg.guided and (guide is None or step % fcfg.rethreshold_every == 0):
+            # occupancy re-thresholding: rebuild the guide from the current
+            # density so guided sampling tracks the evolving field
+            guide = jax.device_put(
+                shardlib.guide_scene_from_params(params, tau=fcfg.guide_tau), rep
+            )
         idx = rng.integers(0, N, batch)
         o = jax.device_put(origins[idx], rs)
         d = jax.device_put(dirs[idx], rs)
         t = jax.device_put(targets[idx], rs)
-        params, opt_state, loss = step_fn(params, opt_state, o, d, t)
+        if fcfg.guided:
+            params, opt_state, loss = step_fn(params, opt_state, guide, o, d, t)
+        else:
+            params, opt_state, loss = step_fn(params, opt_state, o, d, t)
         losses.append(float(loss))
         if step % log_every == 0:
             debug(1, f"fit step {step}: loss {losses[-1]:.5f}")

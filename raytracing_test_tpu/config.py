@@ -77,6 +77,12 @@ class FitConfig:
     steps: int = 200
     lr: float = 0.05
     resolution: int = 256
+    # surface-guided sampling against a periodically re-thresholded occupancy
+    # guide built from the evolving density (parallel/sharding.py)
+    guided: bool = False
+    rethreshold_every: int = 50
+    guide_tau: float = 1.0
+    guided_steps: int = 24  # volumetric window length when guided
 
 
 def world_for_size(n: int, height: int = 128) -> WorldConfig:

@@ -86,6 +86,67 @@ def loss_fn(params: FitParams, origins, dirs, targets, num_steps: int = 128):
     return jnp.mean((rgb - targets) ** 2)
 
 
+def guide_scene_from_params(
+    params: FitParams, tau: float = 1.0, density_scale: float = 25.0
+) -> Scene:
+    """Threshold the EVOLVING density field into an occupancy guide Scene
+    (fit-time occupancy re-thresholding).
+
+    The guide's distance-encoded grid steers surface-guided sampling
+    (render/diff.py render_rays_diff_guided) during fitting: the hard march
+    finds the current surface estimate, the volumetric window samples around
+    it. Re-threshold every K optimizer steps so the guide tracks the field.
+    Pruning is one-directional (carving): matter cannot re-emerge inside a
+    region the guide has pruned, which is the standard occupancy-grid
+    trade-off — keep ``tau`` below the rendering-relevant density.
+    """
+    import numpy as np
+    from ..core.color import rgb_to_u64
+    from ..core.tree import Palette
+    from ..core.types import Block
+
+    dens = np.asarray(jax.nn.softplus(params.density_raw)) * density_scale
+    occ = (dens > tau).astype(np.uint8)  # material id 1 where occupied
+    pal = Palette()
+    pal.id_for(Block(0, int(rgb_to_u64(255, 255, 255))))
+    from ..core import flatten as _fl
+
+    return _fl.scene_from_grid(occ, pal)
+
+
+def make_train_step_guided(mesh: Mesh, optimizer, num_steps: int = 24):
+    """Training step using surface-guided sampling against a (periodically
+    re-thresholded) occupancy guide scene. Same sharding recipe as
+    make_train_step; the guide is replicated and non-differentiable."""
+    from ..render.diff import render_rays_diff_guided
+
+    rs = rays_sharding(mesh)
+    rep = replicated(mesh)
+
+    def loss_g(params, guide, origins, dirs, targets):
+        scene = params_to_scene(params)
+        rgb = render_rays_diff_guided(
+            scene, guide, origins, dirs, num_steps=num_steps, sky=False
+        )
+        return jnp.mean((rgb - targets) ** 2)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, rs, rs, rs),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    def train_step(params, opt_state, guide, origins, dirs, targets):
+        loss, grads = jax.value_and_grad(loss_g)(
+            params, guide, origins, dirs, targets
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def make_train_step(mesh: Mesh, optimizer, num_steps: int = 128):
     """Data-parallel training step: rays sharded, params replicated, gradient
     all-reduce inserted by XLA from the sharding annotations."""

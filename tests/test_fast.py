@@ -89,3 +89,18 @@ def test_fast_step_counts_match():
     sa = np.asarray(aux_a["steps"])[hit_a]
     sb = np.asarray(aux_b["steps"])[hit_a]
     assert (sa == sb).mean() > 0.98, (sa[:20], sb[:20])
+
+
+def test_fast_ao_matches_reference_path():
+    """Hemisphere AO shading (C10) is shared by shade(); the fast path must
+    reproduce the reference path bit-for-bit with enable_ao."""
+    cfg = WorldConfig(width=64, length=64, grid_shape=(64, 64, 64))
+    grid, pal = terrain.gen_world_grid(cfg)
+    scene = flatten.scene_from_grid(grid, pal)
+    a, b = _both(
+        scene,
+        (35.0, 50.0, 35.0),
+        (0.6, -0.5, 0.5),
+        RenderConfig(width=24, height=24, enable_ao=True),
+    )
+    np.testing.assert_array_equal(b, a)

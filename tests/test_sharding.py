@@ -84,3 +84,48 @@ def test_graft_dryrun_multichip():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_guided_train_step_with_rethresholding(world):
+    """Guided fitting: train against a thresholded occupancy guide, re-build
+    the guide mid-run from the evolving density (fit-time re-thresholding),
+    and keep learning."""
+    grid, pal = world
+    albedo, _, _ = flatten.palette_arrays(pal)
+    true_scene = diff.diff_scene_from_grid(grid, albedo, solid_density=20.0)
+    mesh = meshlib.make_mesh(8, 1)
+    rs = meshlib.rays_sharding(mesh)
+    rep = meshlib.replicated(mesh)
+
+    rng = np.random.default_rng(1)
+    N = 256
+    origins = np.full((N, 3), 32.0, np.float32)
+    origins[:, 1] = 40.0
+    dirs = rng.normal(size=(N, 3)).astype(np.float32)
+    dirs[:, 1] = -np.abs(dirs[:, 1]) - 0.5
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    targets = diff.render_rays_diff(
+        true_scene, jnp.asarray(origins), jnp.asarray(dirs), num_steps=48, sky=False
+    )
+
+    params = jax.device_put(shardlib.init_params((64, 64, 64)), rep)
+    optimizer = optax.adam(5e-2)
+    opt_state = jax.device_put(optimizer.init(params), rep)
+    step = shardlib.make_train_step_guided(mesh, optimizer, num_steps=24)
+    origins_s = jax.device_put(jnp.asarray(origins), rs)
+    dirs_s = jax.device_put(jnp.asarray(dirs), rs)
+    targets_s = jax.device_put(targets, rs)
+
+    losses = []
+    guide = jax.device_put(shardlib.guide_scene_from_params(params, tau=1.0), rep)
+    for i in range(8):
+        if i == 4:  # re-threshold mid-run against the evolved field
+            guide = jax.device_put(
+                shardlib.guide_scene_from_params(params, tau=1.0), rep
+            )
+        params, opt_state, loss = step(
+            params, opt_state, guide, origins_s, dirs_s, targets_s
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert np.isfinite(losses).all()
