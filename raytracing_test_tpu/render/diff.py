@@ -83,12 +83,14 @@ def _pack_fields(scene: DiffScene):
 
 
 def _gather_packed(packed, shape3, cell):
+    from ..ops.scatter import take_rows
+
     Sx, Sy, Sz = shape3
     c = cell & 1023
     inside = (c[:, 0] < Sx) & (c[:, 1] < Sy) & (c[:, 2] < Sz)
     lin = (c[:, 0] * Sy + c[:, 1]) * Sz + c[:, 2]
     lin = jnp.where(inside, lin, 0)
-    row = jnp.take(packed, lin, axis=0)
+    row = take_rows(packed, lin)  # VJP = dedup scatter (ops/scatter.py)
     z = inside.astype(row.dtype)[:, None]
     row = row * z
     return row[:, 0], row[:, 1:]
