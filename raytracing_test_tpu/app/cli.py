@@ -58,13 +58,21 @@ def cmd_render(args) -> None:
 
 
 def cmd_animate(args) -> None:
+    from ..utils.profiling import FrameStats, trace
+
     s = _mk_session(args)
     os.makedirs(args.out_dir, exist_ok=True)
-    for i in range(args.frames):
-        s.time = i / 10.0  # drives the water surface animation
-        s.rotate(args.spin, 0.0)
-        img = s.render(_rcfg(args))
-        _save(img, os.path.join(args.out_dir, f"frame_{i:04d}.png"))
+    rcfg = _rcfg(args)
+    stats = FrameStats()  # the reference's rolling frame average (main.cpp:221)
+    with trace(args.trace):
+        for i in range(args.frames):
+            s.time = i / 10.0  # drives the water surface animation
+            s.rotate(args.spin, 0.0)
+            stats.start()
+            img = s.render(rcfg)
+            stats.stop(rays=rcfg.width * rcfg.height)
+            _save(img, os.path.join(args.out_dir, f"frame_{i:04d}.png"))
+            debug(1, stats.status())
 
 
 def cmd_edit(args) -> None:
@@ -166,6 +174,7 @@ def main(argv=None) -> None:
     a.add_argument("--frames", type=int, default=8)
     a.add_argument("--spin", type=float, default=3.0)
     a.add_argument("--out-dir", default="anim")
+    a.add_argument("--trace", default=None, help="jax.profiler trace dir")
     a.set_defaults(fn=cmd_animate)
 
     e = sub.add_parser("edit")

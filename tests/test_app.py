@@ -141,3 +141,26 @@ def test_cli_render_and_edit(tmp_path):
     assert r2.returncode == 0, r2.stderr[-1500:]
     assert os.path.exists(out2)
     assert os.path.exists(f"{tmp_path}/w.npz")
+
+
+def test_frame_stats_and_phase_timer(tmp_path, capsys):
+    """Profiling utilities: rolling frame stats (the reference's 40-frame
+    average, main.cpp:221-225) and the phase timer."""
+    import time as _time
+
+    from raytracing_test_tpu.utils import profiling
+
+    st = profiling.FrameStats(window=4)
+    for _ in range(6):
+        st.start()
+        _time.sleep(0.001)
+        st.stop(rays=100)
+    assert len(st.times) == 4
+    assert st.avg_ms >= 1.0
+    assert st.fps > 0
+    assert st.rays_per_s > 0
+    assert "fps" in st.status()
+    with profiling.phase("unit-test-phase"):
+        pass
+    with profiling.trace(None):
+        pass
