@@ -53,7 +53,8 @@ def _rcfg(args) -> RenderConfig:
 
 def cmd_render(args) -> None:
     s = _mk_session(args)
-    img = s.render(_rcfg(args), fast_path=not args.slow)
+    mode = "reference" if args.slow else args.mode
+    img = s.render(_rcfg(args), mode=mode)
     _save(img, args.out)
 
 
@@ -122,7 +123,8 @@ def cmd_fit(args) -> None:
 
     s = _mk_session(args)
     fcfg = FitConfig(
-        views=args.views, steps=args.steps, lr=args.lr, resolution=args.fit_res
+        views=args.views, steps=args.steps, lr=args.lr, resolution=args.fit_res,
+        guided=args.guided,
     )
     params, losses = fitmod.fit_world(
         s.scene, s.grid.shape, fcfg, ckpt_path=args.ckpt, batch=args.batch
@@ -168,6 +170,12 @@ def main(argv=None) -> None:
 
     r = sub.add_parser("render")
     r.add_argument("--out", default="frame.png")
+    r.add_argument(
+        "--mode",
+        default="fast",
+        choices=["fast", "reference", "progressive", "pallas", "spatial", "handoff"],
+        help="render path (see app/session.py render)",
+    )
     r.set_defaults(fn=cmd_render)
 
     a = sub.add_parser("animate")
@@ -188,6 +196,10 @@ def main(argv=None) -> None:
     f.add_argument("--fit-res", type=int, default=64)
     f.add_argument("--batch", type=int, default=8192)
     f.add_argument("--ckpt", default="")
+    f.add_argument(
+        "--guided", action="store_true",
+        help="surface-guided sampling with occupancy re-thresholding",
+    )
     f.add_argument("--out", default="")
     f.set_defaults(fn=cmd_fit)
 

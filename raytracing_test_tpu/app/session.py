@@ -188,14 +188,53 @@ class WorldSession:
         rcfg: RenderConfig,
         highlight: bool = True,
         fast_path: bool = True,
+        mode: str = None,
     ) -> np.ndarray:
         """One frame, mirroring the reference render() flow: sync dirty state,
-        pick for the looked-at highlight, then draw (main.cpp:68-108)."""
+        pick for the looked-at highlight, then draw (main.cpp:68-108).
+
+        ``mode`` selects the render path: fast (default), reference,
+        progressive (coarse-to-fine, the reference's C11 scheme), pallas
+        (fused-march kernel; materials off), spatial / handoff (the world
+        sharded over all devices' space axis).
+        """
         self.sync()
         if highlight:
             res = self.pick()
             if res.steps:
                 rcfg = replace(rcfg, looking_at=res.pos)
         rcfg = replace(rcfg, time=self.time)
-        rj = fast.render_fast_jit if fast_path else renderer.render_jit
-        return np.asarray(rj(self.scene, self.camera(), rcfg))
+        mode = mode or ("fast" if fast_path else "reference")
+        cam = self.camera()
+        if mode == "fast":
+            return np.asarray(fast.render_fast_jit(self.scene, cam, rcfg))
+        if mode == "reference":
+            return np.asarray(renderer.render_jit(self.scene, cam, rcfg))
+        if mode == "progressive":
+            import jax
+
+            from ..render import progressive
+
+            img, _ = jax.jit(
+                lambda sc, c: progressive.render_image_progressive(sc, c, rcfg)
+            )(self.scene, cam)
+            return np.asarray(img)
+        if mode == "pallas":
+            from ..kernels import pallas_march
+
+            rcfg = replace(rcfg, enable_materials=False, enable_ao=False)
+            return np.asarray(
+                pallas_march.render_image_pallas(self.scene, cam, rcfg)
+            )
+        if mode in ("spatial", "handoff"):
+            import jax
+
+            from ..parallel import handoff as ho, mesh as meshlib, spatial as sp
+
+            mesh = meshlib.make_mesh(1, len(jax.devices()))
+            sc = sp.shard_scene_spatial(self.scene, mesh)
+            if mode == "handoff":
+                rcfg = replace(rcfg, enable_ao=False)
+                return ho.render_image_handoff(sc, cam, rcfg, mesh)
+            return sp.render_image_spatial(sc, cam, rcfg, mesh)
+        raise ValueError(f"unknown render mode {mode!r}")

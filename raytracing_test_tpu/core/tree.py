@@ -329,8 +329,16 @@ class VoxelTree:
         return tree
 
     def _bulk_insert(self, materials: np.ndarray, palette: "Palette", origin) -> None:
-        S = materials.shape[0]
-        assert materials.shape == (S, S, S)
+        # pad non-cubic / non-power-of-4 grids up to the next power-of-4 cube
+        # with air — air cells are never inserted, so padding costs nothing
+        S = 1
+        while S < max(materials.shape):
+            S *= 4
+        if materials.shape != (S, S, S):
+            padded = np.zeros((S, S, S), materials.dtype)
+            sx, sy, sz = materials.shape
+            padded[:sx, :sy, :sz] = materials
+            materials = padded
         # Build uniformity pyramid: level k has cells of edge 4^k; a cell is
         # uniform if all 64 children agree. pyr[k] holds the material id if
         # uniform, else -1.

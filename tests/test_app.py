@@ -164,3 +164,27 @@ def test_frame_stats_and_phase_timer(tmp_path, capsys):
         pass
     with profiling.trace(None):
         pass
+
+
+def test_session_render_modes():
+    """Every CLI-exposed render mode produces the same scene (fast is the
+    anchor; reference/progressive/spatial/handoff must agree; pallas runs
+    materials-off)."""
+    from raytracing_test_tpu.config import RenderConfig
+    from raytracing_test_tpu.app.session import WorldSession
+
+    s = WorldSession(
+        WorldConfig(width=48, length=48, grid_shape=(64, 64, 64)),
+        use_native=False,
+    )
+    s.yaw, s.pitch = 45.0, 25.0
+    rcfg = RenderConfig(width=16, height=16)
+    base = s.render(rcfg, mode="fast")
+    for mode in ("reference", "spatial", "handoff"):
+        img = s.render(rcfg, mode=mode)
+        bad = (np.abs(np.asarray(img) - base) > 1e-6).any(axis=-1)
+        assert bad.mean() <= 0.01, (mode, bad.sum())
+    prog = s.render(rcfg, mode="progressive")
+    assert np.isfinite(prog).all()
+    pal = s.render(rcfg, mode="pallas")
+    assert np.isfinite(pal).all()

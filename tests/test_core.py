@@ -178,3 +178,23 @@ def test_dirty_bricks_tracked():
     t.dirty_bricks.clear()
     t.put_block((9, 9, 9), RED, 6)
     assert (1, 1, 1) in t.dirty_bricks
+
+
+def test_from_dense_non_cubic():
+    """from_dense pads non-cubic grids with air (the CLI's default world
+    window is 256x128x256; the python twin must accept it like the native
+    runtime does)."""
+    from raytracing_test_tpu.core.color import rgb_to_u64
+    from raytracing_test_tpu.core.tree import Palette, VoxelTree
+    from raytracing_test_tpu.core.types import Block
+
+    pal = Palette()
+    m = pal.id_for(Block(0, int(rgb_to_u64(10, 20, 30))))
+    grid = np.zeros((16, 4, 8), np.uint16)
+    grid[3, 2, 5] = m
+    grid[0:4, 0:4, 0:4] = m  # a uniform 4^3 region -> multi-res leaf
+    t = VoxelTree.from_dense(grid, pal)
+    assert not t.get_block((3, 2, 5)).is_air
+    assert not t.get_block((1, 1, 1)).is_air
+    assert t.get_block((8, 3, 7)).is_air
+    assert t.get_block((15, 3, 7)).is_air
