@@ -129,3 +129,23 @@ def test_guided_train_step_with_rethresholding(world):
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
     assert np.isfinite(losses).all()
+
+
+def test_scaling_harness_runs(world):
+    """The scaling-efficiency harness (BASELINE's >=85% metric) runs on the
+    virtual mesh and reports rates + efficiencies for each device count."""
+    from raytracing_test_tpu.parallel import scaling
+
+    grid, pal = world
+    scene = flatten.scene_from_grid(grid, pal)
+    cam = Camera(
+        pos=jnp.asarray([24.0, 45.0, 24.0], jnp.float32),
+        dir=jnp.asarray([0.5, -0.6, 0.5], jnp.float32),
+    )
+    rcfg = RenderConfig(width=32, height=8, max_steps=48, shadow_steps=16)
+    rates = scaling.measure_render_scaling(
+        scene, cam, rcfg, device_counts=[1, 2], iters=1
+    )
+    assert set(rates) == {1, 2} and all(v > 0 for v in rates.values())
+    eff = scaling.efficiency(rates)
+    assert eff[1] == 1.0 and eff[2] > 0
