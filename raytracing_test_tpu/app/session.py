@@ -101,12 +101,9 @@ class WorldSession:
     # --------------------------------------------------------------- camera
 
     def camera_dir(self) -> np.ndarray:
-        p = math.radians(self.pitch)
-        y = math.radians(self.yaw)
-        return np.asarray(
-            [math.cos(p) * math.sin(y), -math.sin(p), math.cos(p) * math.cos(y)],
-            np.float32,
-        )
+        from ..render.camera import yaw_pitch_dir
+
+        return np.asarray(yaw_pitch_dir(self.yaw, self.pitch), np.float32)
 
     def rotate(self, yaw_delta: float, pitch_delta: float) -> None:
         """rotateCamera parity: pitch hard-clamped, yaw wrapped."""

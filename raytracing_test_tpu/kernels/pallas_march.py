@@ -24,10 +24,14 @@ each grid step marches a 1024-ray tile to completion under an in-kernel
 `lax.while_loop`. The grid table has a constant index_map, so Mosaic keeps it
 VMEM-resident across grid steps instead of re-fetching per tile.
 
-The tunneled TPU backend in this environment rejects Pallas/Mosaic compiles
-(HTTP 500, see CLAUDE.md); `pallas_supported()` probes once and the renderers
-fall back to `interpret=True` (bit-exact, CPU-speed) so the kernel layer is
-fully testable here and compiles unchanged on a real slice.
+Pallas/Mosaic compiles DO work through this environment's tunneled TPU
+backend (probed 2026-08-18, see CLAUDE.md) — but THIS kernel's one-gather-per-
+iteration body needs a big-table `jnp.take`, which Mosaic's lane-shuffle-only
+gather cannot lower, so it still runs `interpret=True` only (bit-exact,
+CPU-speed). It remains as the semantics bridge / fallback; the compiled-on-
+chip production kernel is kernels/brick_kernels.py, whose lookups are
+Mosaic-legal (MXU one-hot) by construction. `pallas_supported()` probes once
+whether compiled Pallas is available at all.
 """
 
 from __future__ import annotations
@@ -65,6 +69,7 @@ def _march_kernel(
     tab_ref,
     # per-ray input planes, all (_TILE_ROWS, 128)
     cx0, cy0, cz0, tx0, ty0, tz0, sx0, sy0, sz0, ax0, ay0, az0, mat0, done0,
+    lt0, la0, st0,
     # outputs
     omat, ocx, ocy, ocz, otx, oty, otz, olt, ola, ost, odone,
     *,
@@ -167,14 +172,12 @@ def _march_kernel(
         done, it = carry[-2], carry[-1]
         return (it < _ITER_CAP) & jnp.any(~done)
 
-    zero_i = jnp.zeros((_TILE_ROWS, _LANES), i32)
-    zero_f = jnp.zeros((_TILE_ROWS, _LANES), f32)
     out = jax.lax.while_loop(
         cond,
         body,
         (
             cx0[:], cy0[:], cz0[:], tx0[:], ty0[:], tz0[:],
-            mat0[:], zero_f, zero_i, zero_i, done0[:] != 0,
+            mat0[:], lt0[:], la0[:], st0[:], done0[:] != 0,
             jnp.zeros((), i32),
         ),
     )
@@ -247,6 +250,9 @@ def march_pallas(table, shape3, y_max, s, budget: int, interpret: bool = True):
         planes(s.abs_delta[:, 0], 1.0), planes(s.abs_delta[:, 1], 1.0), planes(s.abs_delta[:, 2], 1.0),
         planes(s.mat),
         planes(s.done.astype(jnp.int32), 1),  # padding lanes start done
+        planes(s.last_t),
+        planes(s.last_axis),
+        planes(s.steps),  # incoming budget consumption carries over
     )
 
     nt = NP // _TILE
@@ -267,7 +273,7 @@ def march_pallas(table, shape3, y_max, s, budget: int, interpret: bool = True):
     outs = pl.pallas_call(
         kern,
         grid=(nt,),
-        in_specs=[smem_spec, tab_spec] + [ray_spec] * 14,
+        in_specs=[smem_spec, tab_spec] + [ray_spec] * 17,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,

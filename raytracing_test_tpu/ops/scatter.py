@@ -15,8 +15,12 @@ cheap on TPU (~24 ms for 1M keys + 4 payloads), so the VJP here:
 
 with a `lax.cond` fallback to the plain full-width scatter when a batch
 really has more than K unique cells — always correct, fast in the common
-case. FP note: per-cell totals come from prefix differences, so addition
-order differs from XLA's scatter at ~ulp level (gradient tests bound it).
+case. FP note: per-cell totals come from differences of an f32 cumsum over
+the WHOLE sorted batch, so each cell's absolute gradient error scales with
+the global prefix magnitude (not per-cell magnitudes): for large or
+mixed-sign batches the noise floor grows with batch size (catastrophic
+cancellation in the worst case). Gradient tests bound it at rtol ~1e-4 for
+the renderer's workloads; treat that as the contract, not "~ulp".
 """
 
 from __future__ import annotations

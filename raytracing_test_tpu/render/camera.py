@@ -40,16 +40,23 @@ def make_camera(cfg: CameraConfig) -> Camera:
     )
 
 
+def yaw_pitch_dir(yaw_deg: float, pitch_deg: float):
+    """Camera direction from yaw/pitch in the REFERENCE convention
+    (src/input.cpp:19-28): dir = (cos p * sin y, -sin p, cos p * cos y).
+    The single source of truth — app.session.Session.camera_dir delegates here."""
+    p = math.radians(pitch_deg)
+    y = math.radians(yaw_deg)
+    return (
+        math.cos(p) * math.sin(y),
+        -math.sin(p),
+        math.cos(p) * math.cos(y),
+    )
+
+
 def camera_from_yaw_pitch(pos, yaw_deg: float, pitch_deg: float) -> Camera:
     """Build a camera from yaw/pitch angles like the input handler
-    (ref: src/input.cpp rotateCamera)."""
-    yaw = math.radians(yaw_deg)
-    pitch = math.radians(pitch_deg)
-    d = (
-        math.cos(pitch) * math.cos(yaw),
-        math.sin(pitch),
-        math.cos(pitch) * math.sin(yaw),
-    )
+    (ref: src/input.cpp:19-28 rotateCamera conventions)."""
+    d = yaw_pitch_dir(yaw_deg, pitch_deg)
     return Camera(pos=jnp.asarray(pos, jnp.float32), dir=jnp.asarray(d, jnp.float32))
 
 

@@ -215,13 +215,17 @@ def render_rays_diff_guided(
     start_t = None
     if image_hw is not None:
         H, W = image_hw
+        assert H % coarse_factor == 0 and W % coarse_factor == 0, (
+            f"image_hw {image_hw} must be divisible by coarse_factor {coarse_factor}"
+        )
         ccfg = RenderConfig(
-            width=W, height=H, enable_materials=False, enable_shadows=False
+            width=W // coarse_factor, height=H // coarse_factor,
+            enable_materials=False, enable_shadows=False,
         )
         cdirs = jnp.asarray(dirs).reshape(H, W, 3)[
             coarse_factor // 2 :: coarse_factor, coarse_factor // 2 :: coarse_factor
         ].reshape(-1, 3)
-        _, caux = fast.render_rays_fast(hard_scene, origin, cdirs, cfg)
+        _, caux = fast.render_rays_fast(hard_scene, origin, cdirs, ccfg)
         o1 = jnp.asarray(origin, jnp.float32)
         ct = jnp.linalg.norm(caux["hit_pos"] - o1[None, :], axis=1)
         ct = jnp.where(caux["hit"], ct, 1e6)

@@ -52,12 +52,24 @@ def trace(log_dir: Optional[str]):
         return
     import jax
 
+    # Guard only profiler ENTRY: if the trace context can't even start
+    # (tunneled backends may not expose the profiler), degrade to untraced.
+    # The yield itself must stay outside the except path so user exceptions
+    # in the with-body propagate unmasked.
     try:
-        with jax.profiler.trace(log_dir):
-            yield
-    except Exception as e:  # tunneled backends may not expose the profiler
+        ctx = jax.profiler.trace(log_dir)
+        ctx.__enter__()
+    except Exception as e:
         debug(1, f"profiler trace unavailable ({e}); continuing untraced")
         yield
+        return
+    try:
+        yield
+    except BaseException:
+        ctx.__exit__(*__import__("sys").exc_info())
+        raise
+    else:
+        ctx.__exit__(None, None, None)
 
 
 class FrameStats:

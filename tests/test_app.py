@@ -86,6 +86,18 @@ def test_camera_parity(session):
     assert s.yaw == -170.0  # wraps
 
 
+def test_camera_from_yaw_pitch_matches_session(session):
+    # one source of truth: the render.camera helper must agree with the
+    # session's (reference-verified, input.cpp:19-28) camera_dir for all poses
+    from raytracing_test_tpu.render.camera import camera_from_yaw_pitch
+
+    s = session
+    for yaw, pitch in [(0, 0), (90, 0), (-45, 30), (120, -60), (180, 89)]:
+        s.yaw, s.pitch = float(yaw), float(pitch)
+        cam = camera_from_yaw_pitch((0.0, 0.0, 0.0), float(yaw), float(pitch))
+        np.testing.assert_allclose(np.asarray(cam.dir), s.camera_dir(), atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path, session):
     s = session
     path = str(tmp_path / "world.npz")
