@@ -68,6 +68,21 @@ class Scene(NamedTuple):
     # to the nearest solid cell (capped), licensing a radius-(d-1) jump box.
     # ONE gather yields both the material and the empty-space skip license.
     y_max: jax.Array  # i32 scalar: max solid y + 1
+    # ---- brick hierarchy (render/bricks.py + kernels/brick_kernels.py).
+    # The march's hot structure: marching happens at 4^3-brick granularity with
+    # an MXU one-hot distance lookup (no gather), dropping to per-voxel steps
+    # only inside occupied bricks whose 64-byte material rows are row-gathered
+    # on entry. Fields default to None on paths that don't render with bricks
+    # (spatially-sharded slabs build their own local Scenes).
+    brick_mat: Optional[jax.Array] = None  # u8 [NB, bs^3] per-brick voxel rows,
+    # vox index (dx*bs + dy)*bs + dz, brick lin (bx*By + by)*Bz + bz
+    brick_dist: Optional[jax.Array] = None  # u8 [Bx, By, Bz] exact Chebyshev
+    # distance in BRICK units to the nearest solid-containing brick, capped at
+    # BRICK_DIST_CAP; 0 = this brick contains solids (license = d-1 bricks)
+    brick_nib: Optional[jax.Array] = None  # f32 [A, B] MXU one-hot byte table
+    # of nibble-PAIRED brick distances (ops/mxu_lookup.pack_nibble_pairs)
+    brick_nib_shadow: Optional[jax.Array] = None  # same, liquid-only bricks
+    # counted as air (shadow rays skip LIQUID, low_res.frag:382-387)
 
     @property
     def shape3(self) -> Tuple[int, int, int]:
@@ -77,6 +92,18 @@ class Scene(NamedTuple):
     def brick_dims(self) -> Tuple[int, int, int]:
         Sx, Sy, Sz = self.mat.shape
         return Sx // 4, Sy // 4, Sz // 4
+
+    @property
+    def brick_shift(self) -> int:
+        """log2 of the brick edge (static: derived from array shape)."""
+        bs3 = self.brick_mat.shape[1]
+        return {64: 2, 512: 3, 4096: 4}[bs3]
+
+    @property
+    def brick_grid(self) -> Tuple[int, int, int]:
+        s = self.brick_shift
+        Sx, Sy, Sz = self.mat.shape
+        return Sx >> s, Sy >> s, Sz >> s
 
 
 def build_macro(grid: np.ndarray) -> np.ndarray:
@@ -139,6 +166,62 @@ def build_grid_enc(grid: np.ndarray) -> np.ndarray:
     return enc
 
 
+BRICK_DIST_CAP = 8  # max brick-level Chebyshev distance (license <= 7 bricks);
+# nibble-packable, and keeps the incremental-update neighborhood small
+
+
+def pick_brick_shift(shape) -> int:
+    """Smallest brick edge 2^s in {4, 8, 16} keeping the brick count within
+    the MXU one-hot table budget (<= 2^18 bricks -> <= 128K-byte table)."""
+    for s in (2, 3, 4):
+        nb = (shape[0] >> s) * (shape[1] >> s) * (shape[2] >> s)
+        if nb <= (1 << 18) and all(d % (1 << s) == 0 for d in shape):
+            return s
+    raise ValueError(f"no brick decomposition for grid shape {shape}")
+
+
+def brick_rows(grid: np.ndarray, s: int) -> np.ndarray:
+    """Dense grid -> per-brick voxel rows u8[NB, (2^s)^3] (vox (dx*bs+dy)*bs+dz)."""
+    bs = 1 << s
+    Sx, Sy, Sz = grid.shape
+    g = grid.reshape(Sx >> s, bs, Sy >> s, bs, Sz >> s, bs)
+    return np.ascontiguousarray(g.transpose(0, 2, 4, 1, 3, 5)).reshape(-1, bs**3)
+
+
+def brick_distance(occ_brick: np.ndarray) -> np.ndarray:
+    """Brick occupancy -> exact capped Chebyshev distance field (u8)."""
+    from ..ops.mxu_lookup import chebyshev_distance_field
+
+    return chebyshev_distance_field(occ_brick, cap=BRICK_DIST_CAP)
+
+
+def nib_table(dist: np.ndarray) -> np.ndarray:
+    """Brick distance field -> f32[A, B] MXU one-hot byte table of packed
+    nibble pairs (ops/mxu_lookup.mxu_nibble_lookup2 consumes this)."""
+    from ..ops.mxu_lookup import byte_table_decomp, pack_bytes_rect, pack_nibble_pairs
+
+    pairs = pack_nibble_pairs(dist.reshape(-1))
+    A, B = byte_table_decomp(pairs.shape[0])
+    return pack_bytes_rect(pairs, A, B)
+
+
+def build_brick_fields(grid: np.ndarray, flags: np.ndarray):
+    """(brick_mat, brick_dist, brick_nib, brick_nib_shadow) numpy arrays."""
+    from ..core.types import Properties
+
+    s = pick_brick_shift(grid.shape)
+    rows = brick_rows(grid, s)
+    occ = (rows > 0).any(axis=1).reshape((grid.shape[0] >> s,
+                                          grid.shape[1] >> s,
+                                          grid.shape[2] >> s))
+    dist = brick_distance(occ)
+    liquid_ids = (np.asarray(flags) & int(Properties.LIQUID)) > 0
+    solid_hard = (rows > 0) & ~liquid_ids[rows]
+    occ_sh = solid_hard.any(axis=1).reshape(occ.shape)
+    dist_sh = brick_distance(occ_sh)
+    return rows, dist, nib_table(dist), nib_table(dist_sh)
+
+
 def world_y_max(grid: np.ndarray) -> np.int32:
     solid_y = np.nonzero(grid.any(axis=(0, 2)))[0]
     return np.int32(int(solid_y.max()) + 1 if len(solid_y) else 0)
@@ -148,6 +231,7 @@ def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
     """Build the device Scene from a dense material grid + palette."""
     albedo, flags, meta = palette_arrays(pal)
     put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+    b_mat, b_dist, b_nib, b_nib_sh = build_brick_fields(grid, flags)
     return Scene(
         mat=put(grid),
         macro=put(build_macro(grid)),
@@ -156,6 +240,10 @@ def scene_from_grid(grid: np.ndarray, pal: Palette, device=None) -> Scene:
         metadata=put(meta),
         grid_enc=put(build_grid_enc(grid)),
         y_max=put(world_y_max(grid)),
+        brick_mat=put(b_mat),
+        brick_dist=put(b_dist),
+        brick_nib=put(b_nib),
+        brick_nib_shadow=put(b_nib_sh),
     )
 
 
@@ -217,16 +305,7 @@ def apply_dirty(
                 for dz in range(min(bs, Sz - z0)):
                     blk = tree.get_block((x0 + dx, y0 + dy, z0 + dz))
                     mat[x0 + dx, y0 + dy, z0 + dz] = pal.id_for(blk) if not blk.is_air else 0
-    albedo, flags, meta = palette_arrays(pal)
-    return Scene(
-        mat=jnp.asarray(mat),
-        macro=jnp.asarray(build_macro(mat)),
-        albedo=jnp.asarray(albedo),
-        flags=jnp.asarray(flags),
-        metadata=jnp.asarray(meta),
-        grid_enc=jnp.asarray(build_grid_enc(mat)),
-        y_max=jnp.asarray(world_y_max(mat)),
-    )
+    return scene_from_grid(mat, pal)
 
 
 def lookup_material(scene: Scene, x, y, z):

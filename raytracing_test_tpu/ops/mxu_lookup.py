@@ -65,6 +65,65 @@ def mxu_word_lookup(table_bytes: jax.Array, idx: jax.Array) -> jax.Array:
     return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
 
 
+def byte_table_decomp(n_bytes: int):
+    """(A, B) power-of-two factorization for an n-byte one-hot lookup table:
+    A = one-hot width (MXU contraction dim), B = row width (VPU select dim).
+    MAC cost per lookup is A*B = W regardless of split; B is capped at 512 to
+    bound the VPU select and the (N, B) intermediate."""
+    W = 1 << int(np.ceil(np.log2(max(n_bytes, 1))))
+    W = max(W, 4096)
+    B = min(512, W)
+    A = W // B
+    while A < 64:  # keep the matmul contraction MXU-sized
+        A *= 2
+        B //= 2
+    return A, B
+
+
+def pack_bytes_rect(vals: np.ndarray, A: int, B: int) -> np.ndarray:
+    """uint8[n] byte values -> f32[A, B] one-hot lookup table (row-major:
+    byte i lives at [i // B, i % B])."""
+    v = np.asarray(vals, np.uint8).ravel()
+    assert v.shape[0] <= A * B, (v.shape, A, B)
+    out = np.zeros(A * B, np.float32)
+    out[: v.shape[0]] = v.astype(np.float32)
+    return out.reshape(A, B)
+
+
+def mxu_byte_lookup(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Lookup byte values from an f32[A, B] table (pack_bytes_rect) by flat
+    index — two one-hot stages: an MXU contraction over A then a VPU select
+    over B. Exact for values <= 255 (bf16 holds small ints exactly).
+
+    idx: int32[N] in [0, A*B). returns int32[N].
+    """
+    A, B = table.shape
+    hi = (idx // B).astype(jnp.int32)
+    lo = (idx % B).astype(jnp.int32)
+    oh_hi = (hi[:, None] == jnp.arange(A, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    m1 = jax.lax.dot_general(
+        oh_hi, table.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, B) — row hi of the table per lookup
+    oh_lo = lo[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]
+    return jnp.where(oh_lo, m1, 0.0).sum(axis=1).astype(jnp.int32)
+
+
+def pack_nibble_pairs(vals: np.ndarray) -> np.ndarray:
+    """uint8[n] (values < 16) -> uint8[ceil(n/2)] little-endian nibble pairs
+    (nibble i is bits [4*(i&1), 4*(i&1)+4) of byte i>>1)."""
+    v = np.asarray(vals).astype(np.uint8).ravel()
+    if v.shape[0] % 2:
+        v = np.concatenate([v, np.zeros(1, np.uint8)])
+    return (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+
+
+def mxu_nibble_lookup2(table: jax.Array, nib_idx: jax.Array) -> jax.Array:
+    """Nibble lookup through an f32[A, B] byte table of packed nibble pairs."""
+    byte = mxu_byte_lookup(table, nib_idx >> 1)
+    return (byte >> ((nib_idx & 1) << 2)) & 0xF
+
+
 def mxu_nibble_lookup(table_bytes: jax.Array, nib_idx: jax.Array) -> jax.Array:
     """Lookup 4-bit values packed 8-per-u32-word (little-endian nibbles)."""
     word = mxu_word_lookup(table_bytes, nib_idx >> 3)
