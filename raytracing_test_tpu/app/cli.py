@@ -173,7 +173,10 @@ def main(argv=None) -> None:
     r.add_argument(
         "--mode",
         default="fast",
-        choices=["fast", "reference", "progressive", "pallas", "spatial", "handoff"],
+        choices=[
+            "fast", "bricks", "bricks-pallas", "reference", "progressive",
+            "pallas", "spatial", "handoff",
+        ],
         help="render path (see app/session.py render)",
     )
     r.set_defaults(fn=cmd_render)

@@ -205,6 +205,19 @@ class WorldSession:
         cam = self.camera()
         if mode == "fast":
             return np.asarray(fast.render_fast_jit(self.scene, cam, rcfg))
+        if mode == "bricks":
+            from ..render import bricks as _bricks
+
+            return np.asarray(_bricks.render_bricks_jit(self.scene, cam, rcfg))
+        if mode == "bricks-pallas":
+            import jax
+
+            from ..kernels import brick_kernels as _bk
+
+            img = jax.jit(
+                lambda sc, c, t: _bk.render_image_bricks_pallas(sc, c, rcfg, time_s=t)
+            )(self.scene, cam, np.float32(rcfg.time))
+            return np.asarray(img)
         if mode == "reference":
             return np.asarray(renderer.render_jit(self.scene, cam, rcfg))
         if mode == "progressive":
