@@ -69,7 +69,10 @@ class WorldSession:
                 self.tree = terrain.gen_world_tree(wcfg, self.grid, self.palette)
         self._clear_dirty()
         with Timer("device flatten"):
-            self.scene = flatten.scene_from_grid(self.grid, self.palette)
+            from ..core.mirror import SceneMirror
+
+            self._mirror = SceneMirror(self.grid, self.palette)
+            self.scene = self._mirror.scene
 
         # camera state (ref defaults: globals.cpp:20-21)
         cam = CameraConfig()
@@ -157,16 +160,29 @@ class WorldSession:
         return res.pos
 
     def sync(self) -> int:
-        """Mirror dirty bricks into the grid + device scene; returns count."""
+        """Mirror dirty bricks into the grid + device scene; returns count.
+
+        Incremental end-to-end: only dirty 8^3 bricks are re-rasterized into
+        the host grid, and only the derived boxes they can affect are
+        recomputed and uploaded (core/mirror.py) — the analog of the
+        reference's dirty-slab glBufferSubData protocol, with per-edit cost
+        independent of the world size."""
+        from ..core.mirror import y_brick_counts
+
         bricks = self._dirty()
         if not bricks:
             return 0
         Sx, Sy, Sz = self.grid.shape
         bs = 8
-        for bx, by, bz in bricks:
+        in_window = []
+        old_counts = {}
+        for b in bricks:
+            bx, by, bz = b
             x0, y0, z0 = bx * bs, by * bs, bz * bs
             if not (0 <= x0 < Sx and 0 <= y0 < Sy and 0 <= z0 < Sz):
                 continue
+            in_window.append(b)
+            old_counts[b] = y_brick_counts(self.grid, b)
             for dx in range(min(bs, Sx - x0)):
                 for dy in range(min(bs, Sy - y0)):
                     for dz in range(min(bs, Sz - z0)):
@@ -175,7 +191,7 @@ class WorldSession:
                             0 if blk.is_air else self.palette.id_for(blk)
                         )
         self._clear_dirty()
-        self.scene = flatten.scene_from_grid(self.grid, self.palette)
+        self.scene = self._mirror.apply_bricks(in_window, old_counts)
         return len(bricks)
 
     # --------------------------------------------------------------- render
