@@ -114,10 +114,15 @@ def guide_scene_from_params(
     return _fl.scene_from_grid(occ, pal)
 
 
-def make_train_step_guided(mesh: Mesh, optimizer, num_steps: int = 24):
+def make_train_step_guided(
+    mesh: Mesh, optimizer, num_steps: int = 24, shading: bool = False,
+    shadow_steps: int = 0,
+):
     """Training step using surface-guided sampling against a (periodically
     re-thresholded) occupancy guide scene. Same sharding recipe as
-    make_train_step; the guide is replicated and non-differentiable."""
+    make_train_step; the guide is replicated and non-differentiable.
+    ``shading``/``shadow_steps`` enable the face-shaded (+ soft sun shadow)
+    volumetric model so targets rendered with shading can be fit directly."""
     from ..render.diff import render_rays_diff_guided
 
     rs = rays_sharding(mesh)
@@ -126,7 +131,8 @@ def make_train_step_guided(mesh: Mesh, optimizer, num_steps: int = 24):
     def loss_g(params, guide, origins, dirs, targets):
         scene = params_to_scene(params)
         rgb = render_rays_diff_guided(
-            scene, guide, origins, dirs, num_steps=num_steps, sky=False
+            scene, guide, origins, dirs, num_steps=num_steps, sky=False,
+            shading=shading, shadow_steps=shadow_steps,
         )
         return jnp.mean((rgb - targets) ** 2)
 

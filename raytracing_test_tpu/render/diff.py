@@ -183,16 +183,20 @@ def render_rays_diff(
 
 def _enumerate_window(shape3, origin_b, d, step, abs_delta, cell, tmax, num_steps):
     """Enumerate the next `num_steps` DDA crossings WITHOUT any memory access:
-    returns (lin i32[N,S], inside bool[N,S], dt f32[N,S]) — the visited cell,
-    its window membership, and the in-cell segment length. Differentiable
-    w.r.t. the ray geometry (dt carries the tmax/abs_delta gradients); the
-    cell indices are integral (no gradient), as in any DDA."""
-    f32 = dt_ = d.dtype
+    returns (lin i32[N,S], inside bool[N,S], dt f32[N,S], ax_in i32[N,S]) —
+    the visited cell, its window membership, the in-cell segment length, and
+    the axis the ray ENTERED the cell through (the face normal axis in the
+    hard limit). Differentiable w.r.t. the ray geometry (dt carries the
+    tmax/abs_delta gradients); the cell indices are integral (no gradient),
+    as in any DDA."""
+    f32 = d.dtype
     Sx, Sy, Sz = shape3
     istep = step.astype(jnp.int32)
+    # entry axis of the FIRST cell: the most recent crossing before the seed
+    ax0 = _argmin_axis(tmax - abs_delta)
 
     def body(carry, _):
-        cell, tmax, t_cur = carry
+        cell, tmax, t_cur, ax_in = carry
         ax = _argmin_axis(tmax)
         oh = _onehot(ax, f32)
         t_next = _get(tmax, ax)
@@ -200,13 +204,16 @@ def _enumerate_window(shape3, origin_b, d, step, abs_delta, cell, tmax, num_step
         wc = cell & 1023
         inside = (wc[:, 0] < Sx) & (wc[:, 1] < Sy) & (wc[:, 2] < Sz)
         lin = jnp.where(inside, (wc[:, 0] * Sy + wc[:, 1]) * Sz + wc[:, 2], 0)
-        carry = (cell + (oh.astype(jnp.int32)) * istep, tmax + oh * abs_delta, t_next)
-        return carry, (lin, inside, dt)
+        carry = (
+            cell + (oh.astype(jnp.int32)) * istep, tmax + oh * abs_delta, t_next, ax
+        )
+        return carry, (lin, inside, dt, ax_in)
 
-    _, (lin, inside, dt) = jax.lax.scan(
-        body, (cell, tmax, jnp.zeros(cell.shape[0], f32)), None, length=num_steps
+    _, (lin, inside, dt, ax_in) = jax.lax.scan(
+        body, (cell, tmax, jnp.zeros(cell.shape[0], f32), ax0), None,
+        length=num_steps,
     )
-    return lin.T, inside.T, dt.T  # -> [N, S]
+    return lin.T, inside.T, dt.T, ax_in.T  # -> [N, S]
 
 
 def render_rays_diff_window(
@@ -218,6 +225,8 @@ def render_rays_diff_window(
     sky: bool = True,
     start_t=None,
     accum: str = "dedup",
+    shading: bool = False,
+    shadow_steps: int = 0,
 ):
     """Window-formulated volumetric render: mathematically identical to
     render_rays_diff (exp-of-cumsum transmittance == product of per-segment
@@ -231,7 +240,16 @@ def render_rays_diff_window(
     gather's VJP) instead of one serialized scatter per scan step — the
     round-1 fwd+bwd wall (VERDICT weak #1/#2). ``accum`` picks the VJP engine:
     'dedup' (ops/scatter sort-based), 'splat' (ops/splat MXU box accumulation),
-    or 'scatter' (plain XLA, the correctness anchor)."""
+    or 'scatter' (plain XLA, the correctness anchor).
+
+    ``shading=True`` multiplies each segment's albedo by the reference's
+    face-shading intensity (calcLightIntensity, low_res.frag:242-252) computed
+    from the segment's ENTRY axis — in the hard-density limit this equals the
+    hard renderer's shaded color at the hit face, so fits can target shaded
+    images. ``shadow_steps > 0`` adds a differentiable soft sun-shadow term:
+    the accumulated surface color is scaled by 0.3 + 0.7*T_sun, where T_sun is
+    the volumetric transmittance toward the sun from the expected hit point
+    (the soft analog of low_res.frag:373-391's hard 0.3 factor)."""
     f32 = jnp.float32
     dirs = jnp.asarray(dirs, f32)
     origin = jnp.asarray(origin, f32)
@@ -252,7 +270,7 @@ def render_rays_diff_window(
     cell = jnp.floor(origin_b).astype(jnp.int32)
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
 
-    lin, inside, dt = _enumerate_window(
+    lin, inside, dt, ax_in = _enumerate_window(
         (Sx, Sy, Sz), origin_b, d, step, abs_delta, cell, tmax, num_steps
     )
 
@@ -272,16 +290,48 @@ def render_rays_diff_window(
     sigma = rows[:, :, 0] * z
     alb = rows[:, :, 1:] * z[:, :, None]
 
+    sun = jnp.asarray(sun_dir, f32)
+    sun = sun / jnp.linalg.norm(sun)
+    if shading:
+        # face shading from the entry axis (calcLightIntensity): the segment's
+        # entry face normal is -step on ax_in; lam = sun . normal
+        sun_ax = jnp.take(sun, ax_in)  # [N, S]
+        step_ax = jnp.take_along_axis(
+            jnp.broadcast_to(step[:, None, :], (N, num_steps, 3)), ax_in[:, :, None], axis=2
+        )[:, :, 0]
+        lam = sun_ax * -step_ax
+        facing = lam > 0
+        # facing: min(lam + 0.4 + 0.15, 1); back-facing: flat 0.3
+        # (calcLightIntensity + the back-face rule, low_res.frag:242-252,368)
+        intensity = jnp.where(
+            facing, jnp.minimum(lam + 0.55, 1.0), 0.3
+        )
+        alb = alb * intensity[:, :, None]
+
     od = sigma * dt  # per-segment optical depth
     tau = jnp.concatenate(
         [jnp.zeros((N, 1), f32), jnp.cumsum(od[:, :-1], axis=1)], axis=1
     )
     T = jnp.exp(-tau)
     w = T * (1.0 - jnp.exp(-od))
-    rgb = (w[:, :, None] * alb).sum(axis=1)
+    surf = (w[:, :, None] * alb).sum(axis=1)
+
+    if shadow_steps > 0:
+        # expected hit point along the ray (weight-averaged segment midpoints;
+        # for a hard surface this IS the hit point), pushed off the surface
+        t_mid = jnp.cumsum(dt, axis=1) - 0.5 * dt
+        w_sum = w.sum(axis=1)
+        t_hit = (w * t_mid).sum(axis=1) / jnp.maximum(w_sum, 1e-8)
+        p = origin_b + jax.lax.stop_gradient(t_hit)[:, None] * d
+        t_sun = transmittance(
+            scene, jax.lax.stop_gradient(p) + sun[None, :] * 0.75,
+            jnp.broadcast_to(sun[None, :], (N, 3)), num_steps=shadow_steps,
+        )
+        # hard analog: occluded -> color * 0.3 (low_res.frag:389)
+        surf = surf * (0.3 + 0.7 * t_sun)[:, None]
+
+    rgb = surf
     if sky:
-        sun = jnp.asarray(sun_dir, f32)
-        sun = sun / jnp.linalg.norm(sun)
         T_end = jnp.exp(-(tau[:, -1] + od[:, -1]))
         rgb = rgb + T_end[:, None] * skybox(d, sun)
     return rgb
@@ -301,6 +351,8 @@ def render_rays_diff_guided(
     window: bool = True,
     accum: str = "dedup",
     engine: str = "fast",
+    shading: bool = False,
+    shadow_steps: int = 0,
 ):
     """Surface-guided differentiable render: a (non-differentiable) hard-path
     forward march finds first-solid depths along the STRAIGHT rays (materials
@@ -363,8 +415,9 @@ def render_rays_diff_guided(
     if window:
         return render_rays_diff_window(
             scene, origin, dirs, num_steps=num_steps, sun_dir=sun_dir, sky=sky,
-            start_t=seed, accum=accum,
+            start_t=seed, accum=accum, shading=shading, shadow_steps=shadow_steps,
         )
+    assert not shading and not shadow_steps, "shading requires the window path"
     return render_rays_diff(
         scene, origin, dirs, num_steps=num_steps, sun_dir=sun_dir, sky=sky,
         start_t=seed,
