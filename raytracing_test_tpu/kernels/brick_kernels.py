@@ -119,7 +119,10 @@ def _brick_kernel(
     pz, nz_ = sz > 0, sz < 0
 
     def body(carry):
-        cx, cy, cz, tx, ty, tz, mat, lt, la, st, done, it = carry
+        # `done` is carried as i32 (Mosaic cannot legalize i1 vector carries
+        # through scf.while) and converted to a mask per iteration
+        cx, cy, cz, tx, ty, tz, mat, lt, la, st, done_i, it = carry
+        done = done_i != 0
 
         # ---- brick distance at the current cell (the ONE lookup)
         wx, wy, wz = cx & 1023, cy & 1023, cz & 1023
@@ -183,7 +186,7 @@ def _brick_kernel(
 
         # march itself is the pending signal: lanes that didn't march this
         # iteration are settled (done or waiting at an occupied brick)
-        return cx, cy, cz, tx, ty, tz, mat, lt, la, st, done, jnp.where(
+        return cx, cy, cz, tx, ty, tz, mat, lt, la, st, done.astype(i32), jnp.where(
             jnp.any(march), it + 1, _ITER_CAP
         )
 
@@ -196,7 +199,7 @@ def _brick_kernel(
         body,
         (
             cx0[:], cy0[:], cz0[:], tx0[:], ty0[:], tz0[:],
-            mat0[:], lt0[:], la0[:], st0[:], done0[:] != 0,
+            mat0[:], lt0[:], la0[:], st0[:], (done0[:] != 0).astype(i32),
             jnp.zeros((), i32),
         ),
     )
@@ -207,7 +210,7 @@ def _brick_kernel(
     olt[:] = lt
     ola[:] = la
     ost[:] = st
-    odone[:] = done.astype(i32)
+    odone[:] = done
 
 
 # --------------------------------------------------------------------------
@@ -255,7 +258,9 @@ def _fine_kernel(
         return (out >> ((vox & 3) << 3)) & 0xFF
 
     def body(carry):
-        cx, cy, cz, tx, ty, tz, mat, lt, la, st, done, evt, it = carry
+        cx, cy, cz, tx, ty, tz, mat, lt, la, st, done_i, evt_i, it = carry
+        done = done_i != 0
+        evt = evt_i != 0
         wx, wy, wz = cx & 1023, cy & 1023, cz & 1023
         in_w = (wx < Sx) & (wy < Sy) & (wz < Sz)
         cur_blin = ((wx >> sh) * By + (wy >> sh)) * Bz + (wz >> sh)
@@ -285,8 +290,10 @@ def _fine_kernel(
         lt = jnp.where(march, t_m, lt)
         st = st + stp
         done = done | (march & (st >= budget))
-        return cx, cy, cz, tx, ty, tz, mat, lt, la, st, done, evt, jnp.where(
-            jnp.any(march), it + 1, _ITER_CAP
+        return (
+            cx, cy, cz, tx, ty, tz, mat, lt, la, st,
+            done.astype(i32), evt.astype(i32),
+            jnp.where(jnp.any(march), it + 1, _ITER_CAP),
         )
 
     def cond(carry):
@@ -297,8 +304,8 @@ def _fine_kernel(
         body,
         (
             cx0[:], cy0[:], cz0[:], tx0[:], ty0[:], tz0[:],
-            mat0[:], lt0[:], la0[:], st0[:], done0[:] != 0,
-            jnp.zeros((_TILE_ROWS, _LANES), bool),
+            mat0[:], lt0[:], la0[:], st0[:], (done0[:] != 0).astype(i32),
+            jnp.zeros((_TILE_ROWS, _LANES), i32),
             jnp.zeros((), i32),
         ),
     )
@@ -309,7 +316,7 @@ def _fine_kernel(
     olt[:] = lt
     ola[:] = la
     ost[:] = st
-    odone[:] = done.astype(i32)
+    odone[:] = done
     oevt[:] = evt.astype(i32)
 
 
@@ -539,7 +546,13 @@ def make_pallas_loops(interpret=None):
 
 
 def render_rays_bricks_pallas(scene, origin, dirs, cfg, interpret=None, **kw):
-    """Full brick-path render with both inner loops on the Pallas kernels."""
+    """Full brick-path render with both inner loops on the Pallas kernels.
+
+    compact_min defaults higher than the XLA twin's: every compaction level
+    instantiates both kernels, and in-kernel iterations are cheap enough that
+    deep straggler compaction buys little — capping recursion bounds compile
+    size (the tunneled backend is sensitive to long compiles)."""
+    kw.setdefault("compact_min", 16384)
     fine_loop, brick_loop = make_pallas_loops(interpret=interpret)
     return _bx.render_rays_bricks(
         scene, origin, dirs, cfg, fine_loop=fine_loop, brick_loop=brick_loop, **kw

@@ -252,19 +252,22 @@ def brick_march(
     time_s=None,
     fine_loop=None,
     brick_loop=None,
+    compact_min: int = 256,
 ):
     """The full rounds-structured march with straggler compaction.
 
     ``fine_loop`` / ``brick_loop`` override the inner engines — the Pallas
     kernels (kernels/brick_kernels.py) plug in here; defaults are the XLA
-    twins above. Returns (state, rounds)."""
+    twins above. ``compact_min`` floors the compaction recursion (each level
+    instantiates the whole round machinery — the kernel path uses a higher
+    floor to bound compile size). Returns (state, rounds)."""
     if time_s is None:
         time_s = cfg.time
     fine = fine_loop or _fine_loop
     brick = brick_loop or _brick_loop
     table = scene.brick_nib_shadow if shadow else scene.brick_nib
     N = state.cell.shape[0]
-    M = _compact_size_static(N, compact_fraction)
+    M = max(_compact_size_static(N, compact_fraction), compact_min)
 
     def round_body(carry):
         s, r = carry
@@ -298,7 +301,8 @@ def brick_march(
     sub = jax.tree_util.tree_map(lambda a: a[idx], state)
     sub = sub._replace(done=sub.done | ~valid)
     sub, r2 = brick_march(
-        scene, sub, cfg, budget, shadow, compact_fraction, time_s, fine_loop, brick_loop
+        scene, sub, cfg, budget, shadow, compact_fraction, time_s, fine_loop,
+        brick_loop, compact_min,
     )
     scatter_idx = jnp.where(valid, idx, N)
     state = jax.tree_util.tree_map(
@@ -309,7 +313,7 @@ def brick_march(
     return state, r + r2
 
 
-def _shadow_march_bricks(scene, p, cell, last_axis, cfg, sun, active, fine_loop, brick_loop):
+def _shadow_march_bricks(scene, p, cell, last_axis, cfg, sun, active, fine_loop, brick_loop, compact_min=256):
     """Sun-shadow occlusion via the brick machinery (fast._shadow_march_fast
     semantics: exit through the hit face, one geometric first step, skip
     LIQUID, <=75 steps)."""
@@ -344,7 +348,7 @@ def _shadow_march_bricks(scene, p, cell, last_axis, cfg, sun, active, fine_loop,
     )
     s, _ = brick_march(
         scene, s, cfg, jnp.asarray(cfg.shadow_steps, jnp.int32), shadow=True,
-        fine_loop=fine_loop, brick_loop=brick_loop,
+        fine_loop=fine_loop, brick_loop=brick_loop, compact_min=compact_min,
     )
     return active & (s.mat != 0)
 
@@ -358,6 +362,7 @@ def render_rays_bricks(
     time_s=None,
     fine_loop=None,
     brick_loop=None,
+    compact_min: int = 256,
 ):
     """Brick-path render of arbitrary rays -> (rgb [N,3], aux). Same semantics
     and signature shape as fast.render_rays_fast."""
@@ -384,11 +389,13 @@ def render_rays_bricks(
     s, rounds = brick_march(
         scene, s, cfg, jnp.asarray(cfg.max_steps, jnp.int32), shadow=False,
         time_s=time_s, fine_loop=fine_loop, brick_loop=brick_loop,
+        compact_min=compact_min,
     )
 
     def shadow_fn(p, cell, last_axis, step, active):
         return _shadow_march_bricks(
-            scene, p, cell, last_axis, cfg, sun, active, fine_loop, brick_loop
+            scene, p, cell, last_axis, cfg, sun, active, fine_loop, brick_loop,
+            compact_min,
         )
 
     col, aux = shade(scene, s, raw0, mat0, sun, cfg, shadow_fn)

@@ -90,10 +90,12 @@ def test_per_edit_host_work_is_local():
         mirror = SceneMirror(grid, pal)
         mid = int(pal.id_for(Block(0, int(rgb_to_u64(1, 2, 3)))))
         _edit(grid, mirror, pal, [((40, 50, 40), mid)])  # warm the jit
-        t0 = time.perf_counter()
-        for k in range(3):
+        per = []
+        for k in range(5):
+            t0 = time.perf_counter()
             _edit(grid, mirror, pal, [((60 + k, 50, 60), mid)])
-        times[shape[0]] = (time.perf_counter() - t0) / 3
-    # 8x the voxels must not cost anywhere near 8x (allow 2.5x for cache
-    # effects and the tiny O(NB) nib-table rebuild)
-    assert times[512] < times[256] * 2.5 + 0.05, times
+            per.append(time.perf_counter() - t0)
+        times[shape[0]] = min(per)  # min: robust to host-load noise
+    # 8x the voxels must not cost anywhere near 8x (allow 4x + slack for cache
+    # effects, the tiny O(NB) nib-table rebuild, and shared-core timing noise)
+    assert times[512] < times[256] * 4.0 + 0.1, times
