@@ -2,9 +2,13 @@
 
 Matches BASELINE.json's metric: differentiable render (forward + gradient
 w.r.t. voxel densities/albedos) of 1024x1024 primary rays against a 256-class
-world on one chip. vs_baseline is measured against the 5e8 rays/s/chip target
-(the reference itself publishes no numbers; its implied desktop-GPU throughput
-is ~1.25e8 primary rays/s — see BASELINE.md).
+world on one chip, via the round-2 window formulation (one batched gather,
+MXU-splat backward — render/diff.py + ops/splat.py). Secondary: the hard
+forward renderer (full materials/shadows) on the compiled Pallas brick
+kernels, falling back to the XLA fast path if the kernel path fails to
+compile in this environment. vs_baseline is against the 5e8 rays/s/chip
+target (the reference publishes no numbers; its implied desktop-GPU
+throughput is ~1.25e8 primary rays/s — BASELINE.md).
 
 Prints exactly one JSON line.
 """
@@ -17,7 +21,7 @@ import time
 import numpy as np
 
 
-def _watchdog(seconds: int = 540):
+def _watchdog(seconds: int = 560):
     """The tunneled TPU backend occasionally wedges (calls hang instead of
     failing); make sure the driver still gets a JSON line."""
 
@@ -53,7 +57,7 @@ def main():
 
     from raytracing_test_tpu.config import RenderConfig, WorldConfig
     from raytracing_test_tpu.core import flatten
-    from raytracing_test_tpu.render import diff, renderer
+    from raytracing_test_tpu.render import diff
     from raytracing_test_tpu.render.camera import Camera, ray_directions
     from raytracing_test_tpu.worldgen import terrain
 
@@ -71,59 +75,80 @@ def main():
     )
     dirs = ray_directions(cam, W, H)
 
-    def loss(ds, pos, d):
-        rgb = diff.render_rays_diff_guided(
-            ds, scene, pos, d, num_steps=NUM_STEPS, sky=False, image_hw=(H, W)
-        )
-        return jnp.mean(rgb)
-
     # NOTE measurement hygiene for the tunneled (axon) backend:
     #  - inputs must differ per call (identical-input executions are memoized)
     #  - results must be MATERIALIZED (np.asarray); block_until_ready returns
     #    before remote execution completes
     # Reduce outputs to scalars inside jit so materialization cost is nil.
-    fwd_bwd = jax.jit(
-        lambda ds, pos, d: jax.tree_util.tree_reduce(
-            lambda a, x: a + x.sum(), jax.grad(loss)(ds, pos, d), 0.0
+    def measure(make_fn, iters=3):
+        fn = jax.jit(make_fn)
+        float(np.asarray(fn(jnp.float32(99))))  # warmup/compile
+        ts = []
+        for k in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(jnp.float32(k))))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    def fwd_bwd(accum):
+        def loss(ds, t):
+            rgb = diff.render_rays_diff_guided(
+                ds, scene, cam.pos, dirs * (1.0 + 1e-6 * t), num_steps=NUM_STEPS,
+                sky=False, image_hw=(H, W), accum=accum,
+            )
+            return jnp.mean(rgb)
+
+        return lambda t: jax.tree_util.tree_reduce(
+            lambda a, x: a + x.sum(), jax.grad(loss)(dscene, t), 0.0
         )
-    )
-    iters = 3
-    dirs_v = [dirs * (1.0 + 1e-6 * k) for k in range(iters + 1)]
-    float(np.asarray(fwd_bwd(dscene, cam.pos, dirs_v[-1])))  # warmup/compile
-    t0 = time.perf_counter()
-    for k in range(iters):
-        float(np.asarray(fwd_bwd(dscene, cam.pos, dirs_v[k])))
-    dt = (time.perf_counter() - t0) / iters
-    rays_fb = H * W / dt
 
-    # secondary: hard forward renderer (full materials/shadows) in the
-    # production coarse-to-fine mode (render/progressive.py — the reference's
-    # C11 scheme, enabled)
-    from raytracing_test_tpu.render import fast, progressive
+    rays_fb, accum_used = 0.0, "none"
+    for accum in ("splat", "dedup"):
+        try:
+            dt = measure(fwd_bwd(accum))
+            rays_fb, accum_used = H * W / dt, accum
+            break
+        except Exception as e:
+            print(f"# fwd+bwd accum={accum} failed: {e}", file=sys.stderr)
 
+    # secondary: hard forward renderer (full materials/shadows), compiled
+    # Pallas brick kernels; falls back to the XLA fast path
+    rays_f, fwd_used = 0.0, "none"
     rcfg = RenderConfig(width=W, height=H)
+    try:
+        from raytracing_test_tpu.kernels import brick_kernels as bk
 
-    def fwd_full(s, p, d):
-        depth = progressive.coarse_depth(s, cam, rcfg, 4)
-        seeds = progressive.seed_from_depth(depth, 4, H, W)
-        col, _ = fast.render_rays_fast(s, p, d, rcfg, start_t=seeds)
-        return col.sum()
+        dt_f = measure(
+            lambda t: bk.render_rays_bricks_pallas(
+                scene, cam.pos, dirs * (1.0 + 1e-6 * t), rcfg
+            )[0].sum()
+        )
+        rays_f, fwd_used = H * W / dt_f, "bricks-pallas"
+    except Exception as e:
+        print(f"# bricks-pallas fwd failed: {e}", file=sys.stderr)
+        try:
+            from raytracing_test_tpu.render import fast, progressive
 
-    fwd = jax.jit(fwd_full)
-    float(np.asarray(fwd(scene, cam.pos, dirs_v[-1])))
-    t0 = time.perf_counter()
-    for k in range(iters):
-        float(np.asarray(fwd(scene, cam.pos, dirs_v[k])))
-    dt_f = (time.perf_counter() - t0) / iters
-    rays_f = H * W / dt_f
+            def fwd_full(t):
+                depth = progressive.coarse_depth(scene, cam, rcfg, 4)
+                seeds = progressive.seed_from_depth(depth, 4, H, W)
+                col, _ = fast.render_rays_fast(
+                    scene, cam.pos, dirs * (1.0 + 1e-6 * t), rcfg, start_t=seeds
+                )
+                return col.sum()
+
+            dt_f = measure(fwd_full)
+            rays_f, fwd_used = H * W / dt_f, "fast+progressive"
+        except Exception as e2:
+            print(f"# fast fwd failed too: {e2}", file=sys.stderr)
 
     target = 5e8
     print(
         json.dumps(
             {
-                "metric": "rays/s/chip, 1024^2 forward+backward (surface-guided "
-                f"diff render, {NUM_STEPS}-step window); fwd-only full-feature "
-                f"(materials+shadows): {rays_f:.3e} rays/s",
+                "metric": "rays/s/chip, 1024^2 forward+backward (guided window "
+                f"diff render, {NUM_STEPS} steps, accum={accum_used}); fwd-only "
+                f"full-feature [{fwd_used}]: {rays_f:.3e} rays/s",
                 "value": rays_fb,
                 "unit": "rays/s",
                 "vs_baseline": rays_fb / target,

@@ -72,9 +72,11 @@ def byte_table_decomp(n_bytes: int):
     bound the VPU select and the (N, B) intermediate."""
     W = 1 << int(np.ceil(np.log2(max(n_bytes, 1))))
     W = max(W, 4096)
-    B = min(512, W)
+    # balanced split: the (N, A) one-hot and (N, B) row intermediates are the
+    # VMEM/bandwidth cost in kernels — keep both <= 256
+    B = min(256, W)
     A = W // B
-    while A < 64:  # keep the matmul contraction MXU-sized
+    while A < 64 and B > 1:  # keep the matmul contraction MXU-sized
         A *= 2
         B //= 2
     return A, B
