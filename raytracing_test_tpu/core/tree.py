@@ -434,17 +434,39 @@ class Palette:
     metadata: np.ndarray = field(default_factory=lambda: np.zeros(1, dtype=np.float32))
     _index: Dict[Tuple[int, int, float], int] = field(default_factory=dict)
 
+    MAX_IDS = 128  # grid_enc reserves values >= 128 for air distances
+
     def id_for(self, block: Block) -> int:
         if block.is_air:
             return 0
         key = (int(block.flags) | 1, int(block.color), float(block.metadata))
         i = self._index.get(key)
         if i is None:
+            if len(self.flags) >= self.MAX_IDS:
+                # palette full: merge into the perceptually-nearest existing
+                # material with identical flags/metadata (graceful degradation
+                # instead of a hard failure — a long multi-color edit session
+                # keeps working with quantized colors)
+                return self._nearest(key)
             i = len(self.flags)
             self.flags = np.append(self.flags, np.int32(key[0]))
             self.color = np.append(self.color, np.uint64(key[1]))
             self.metadata = np.append(self.metadata, np.float32(key[2]))
             self._index[key] = i
+        return i
+
+    def _nearest(self, key) -> int:
+        from .color import u64_to_unit_f32
+
+        fl, col, meta = key
+        same = np.nonzero(
+            (self.flags[1:] == fl) & (self.metadata[1:] == np.float32(meta))
+        )[0]
+        cand = same + 1 if len(same) else np.arange(1, len(self.flags))
+        want = u64_to_unit_f32(np.asarray([col], np.uint64))[0]
+        have = u64_to_unit_f32(self.color[cand])
+        i = int(cand[np.argmin(((have - want[None, :]) ** 2).sum(axis=1))])
+        self._index[key] = i  # future lookups of this block stay stable
         return i
 
     def block(self, mat_id: int) -> Block:

@@ -190,7 +190,12 @@ class NativeVoxelTree:
             pm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if n < 0:
-            raise RuntimeError("palette overflow during dense export")
+            raise RuntimeError(
+                "palette overflow during dense export (>256 distinct blocks "
+                "in the native tree); the python palette path degrades "
+                "gracefully by nearest-color merging (core/tree.Palette) — "
+                "rebuild the session with use_native=False for huge palettes"
+            )
         return grid, pf[:n], pc[:n], pm[:n]
 
     def dirty_bricks(self) -> List[Tuple[int, int, int]]:

@@ -431,6 +431,17 @@ def shade(scene: Scene, s: "_March", raw0, mat0, sun, cfg: RenderConfig, shadow_
         "last_axis": s.last_axis,
         "normal": _onehot(s.last_axis, f32) * -s.step,
         "reflected": s.reflected,
+        # mid-march ray-construction internals (the reference's debug frames
+        # 2-6: ray dir / ratios / deltas / origin, main.cpp:21-33)
+        "ray_dir": s.dir,
+        "ray_origin": s.seg_origin,
+        "ray_deltas": s.abs_delta,
+        "ray_ratios_a": jnp.stack(  # "Y/X, Y/Z, X/Y" (debug frame 3)
+            [s.dir[:, 1] / s.dir[:, 0], s.dir[:, 1] / s.dir[:, 2],
+             s.dir[:, 0] / s.dir[:, 1]], axis=1),
+        "ray_ratios_b": jnp.stack(  # "X/Z, Z/X, Z/Y" (debug frame 4)
+            [s.dir[:, 0] / s.dir[:, 2], s.dir[:, 2] / s.dir[:, 0],
+             s.dir[:, 2] / s.dir[:, 1]], axis=1),
     }
     return col, aux
 

@@ -198,3 +198,24 @@ def test_from_dense_non_cubic():
     assert not t.get_block((1, 1, 1)).is_air
     assert t.get_block((8, 3, 7)).is_air
     assert t.get_block((15, 3, 7)).is_air
+
+
+def test_palette_overflow_degrades_gracefully():
+    """Beyond 127 distinct materials the palette merges new blocks into the
+    nearest same-flags material instead of raising (grid_enc reserves ids >=
+    128 for air distances) — a long edit session keeps working."""
+    from raytracing_test_tpu.core.color import rgb_to_u64, u64_to_unit_f32
+    from raytracing_test_tpu.core.tree import Palette
+    from raytracing_test_tpu.core.types import Block
+
+    pal = Palette()
+    for r in range(127):  # fill to the cap
+        pal.id_for(Block(0, int(rgb_to_u64(r * 2, 0, 0))))
+    assert len(pal) == 128
+    # overflow: a reddish block must map to the nearest existing red
+    i = pal.id_for(Block(0, int(rgb_to_u64(101, 0, 0))))
+    assert 0 < i < 128
+    got = u64_to_unit_f32(pal.color[i : i + 1])[0]
+    assert abs(got[0] - 100 / 255) < 2 / 255 or abs(got[0] - 102 / 255) < 2 / 255
+    # repeated lookups are stable
+    assert pal.id_for(Block(0, int(rgb_to_u64(101, 0, 0)))) == i
