@@ -125,7 +125,7 @@ def _brick_kernel(
     py, ny_ = sy > 0, sy < 0
     pz, nz_ = sz > 0, sz < 0
 
-    def body(carry):
+    def step(carry):
         # `done` is carried as i32 (Mosaic cannot legalize i1 vector carries
         # through scf.while) and converted to a mask per iteration
         cx, cy, cz, tx, ty, tz, mat, lt, la, st, done_i, it = carry
@@ -196,6 +196,14 @@ def _brick_kernel(
         return cx, cy, cz, tx, ty, tz, mat, lt, la, st, done.astype(i32), jnp.where(
             jnp.any(march), it + 1, _ITER_CAP
         )
+
+    def body(carry):
+        # unroll a few march steps per while-iteration: the loop cond's
+        # cross-lane any() is a scalar sync — amortize it (extra steps on
+        # settled lanes are fully masked no-ops)
+        for _ in range(3):
+            carry = step(carry)
+        return carry
 
     def cond(carry):
         it = carry[-1]
