@@ -1,0 +1,739 @@
+"""Fused single-invocation march kernel — the round-3 performance path.
+
+One ``pallas_call`` executes the ENTIRE render march per ray tile: hierarchical
+empty-space skips, per-voxel fine steps inside surface bricks, the
+reflect/refract material state machine (incl. the animated water surface), and
+the inline sun-shadow march — the same one-pass-per-pixel structure as the
+reference kernel (low_res.frag:256-393: march :309-315, materials :317-333,
+shadow :373-391) re-expressed for the TPU's vector units.
+
+Why fused: the round-2 split kernels (brick_kernels.py) paid a measured
+~28 ms/M-lanes *per Pallas invocation* (PROBE_r03) and re-entered the kernel
+through XLA glue for every row fetch and material event; at 512² that overhead
+alone exceeded the whole march's compute. Here per-lane state lives in vector
+registers/VMEM for the kernel's lifetime, every voxel/brick lookup is an
+in-VMEM MXU one-hot matmul over the core/fused_tables.py tables (~0.3-3 ms per
+1M lanes per iteration, vs ~10 ms for an XLA gather at full width), and each
+ray tile exits its while-loop the moment all its rays settle — spatially
+coherent 64x64-pixel tiles make that early exit effective where the XLA paths
+pay worst-lane lockstep until compaction thresholds.
+
+Semantics: identical to render/fast.py (the oracle-validated fast path) —
+same DDA arithmetic, tie-breaking, material_step math, exit rules, and budget
+semantics; parity is enforced by tests/test_fused.py across the material
+coverage matrix. Shading stays in XLA (render/renderer.shade consumes the
+kernel's outputs), so the shading code path is literally shared with the
+validated renderers.
+
+Mosaic survival notes (CLAUDE.md): i1 loop carries are carried as i32; all
+matmuls pass preferred_element_type; iotas are >=2D; tables ship as bf16
+(byte values <= 255 are exact in bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..core.flatten import Scene
+from ..core.fused_tables import FusedTables, build_fused_tables
+from ..core.types import Properties
+
+_LANES = 128
+_TILE_ROWS = 32  # rays per tile = 32*128 = 4096 = one 64x64 pixel block
+_RF = 4  # row chunk for the one-hot lookups (bounds VMEM intermediates:
+# the (RF,128,256) m1/select buffers are the kernel's VMEM peak — RF=8 put the
+# 512^2 kernel 2.85M over the 16M scoped-vmem limit on the v5e)
+_ITER_CAP = 4096
+_BIG = 1 << 20
+_MAX_JUMP = 512
+
+# scal_i layout
+_SI_YMAX, _SI_BUDGET, _SI_SH_BUDGET = 0, 1, 2
+_SI_W_HIT, _SI_W_EVT, _SI_W_REFL, _SI_W_LIQ, _SI_W_REFR, _SI_W_SHHIT = 3, 4, 5, 6, 7, 8
+# scal_f layout: time, sun[3], sun_step[3], sun_delta[3], sun_abs[3]
+_SF_TIME, _SF_SUN, _SF_SSTEP, _SF_SDELTA, _SF_SABS = 0, 1, 4, 7, 10
+
+
+# --------------------------------------------------------------------------
+# in-kernel lookup machinery
+
+
+def _row_m1(tab_ref, row_idx, ar128):
+    """One-hot row fetch: tab_ref (A,256) bf16, row_idx (RF,128) i32 in [0,A)
+    -> m1 (RF,128,256) f32 = tab[row_idx]. Banked in 128-row chunks so the
+    one-hot intermediate stays (RF,128,128)."""
+    A = tab_ref.shape[0]
+    m1 = jnp.zeros((_RF, _LANES, 256), jnp.float32)
+    for k in range(A // 128):
+        ohk = ((row_idx - k * 128)[:, :, None] == ar128).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            ohk.reshape(_RF * _LANES, 128),
+            tab_ref[k * 128 : (k + 1) * 128, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(_RF, _LANES, 256)
+        m1 = m1 + part
+    return m1
+
+
+def _sel_byte(m1, col, ar256):
+    """Select byte ``col`` (i32 in [0,256)) from each lane's 256-byte row."""
+    return (
+        jnp.where(col[:, :, None] == ar256, m1, 0.0)
+        .sum(axis=2, dtype=jnp.float32)
+        .astype(jnp.int32)
+    )
+
+
+def _word_bit(word, m):
+    """Bit ``m`` (0..15) of the SMEM i32 LUT word, as a bool mask."""
+    return ((jax.lax.shift_right_logical(word, m)) & 1) > 0
+
+
+# --------------------------------------------------------------------------
+# the kernel
+
+
+def _fused_kernel(
+    scal_i,  # SMEM i32[9]
+    scal_f,  # SMEM f32[13]
+    meta_ref, mask_ref, multi_ref,  # bf16 VMEM tables
+    cx0, cy0, cz0, tx0, ty0, tz0, dx0, dy0, dz0,
+    sx0, sy0, sz0, ax0, ay0, az0, px0, py0, pz0, val0,
+    omat0, omat, ocx, ocy, ocz, ola, orefl, oshad, ost,
+    odx, ody, odz, osx, osy, osz, oox, ooy, ooz, olt, ocr, ocg, ocb,
+    *,
+    shape3, bgrid, air0, enable_materials, enable_shadows,
+):
+    Sx, Sy, Sz = shape3
+    Bx, By, Bz = bgrid
+    f32, i32 = jnp.float32, jnp.int32
+    R = _TILE_ROWS
+    y_max = scal_i[_SI_YMAX]
+    budget = scal_i[_SI_BUDGET]
+    sh_budget = scal_i[_SI_SH_BUDGET]
+    w_hit = scal_i[_SI_W_HIT]
+    w_evt = scal_i[_SI_W_EVT]
+    w_refl = scal_i[_SI_W_REFL]
+    w_liq = scal_i[_SI_W_LIQ]
+    w_refr = scal_i[_SI_W_REFR]
+    w_shhit = scal_i[_SI_W_SHHIT]
+    time_s = scal_f[_SF_TIME]
+    sun = [scal_f[_SF_SUN + k] for k in range(3)]
+    sun_s = [scal_f[_SF_SSTEP + k] for k in range(3)]
+    sun_dl = [scal_f[_SF_SDELTA + k] for k in range(3)]
+    sun_ab = [scal_f[_SF_SABS + k] for k in range(3)]
+
+    def resolve_chunk(cx, cy, cz):
+        """(RF,128) cells -> (m, vr, d_pri, d_sh, in_w). m = material id at the
+        voxel (0 outside the window); vr = in-brick air license radius; d_pri /
+        d_sh = brick-level licenses (>=1 only on jumpable bricks)."""
+        ar128 = jax.lax.broadcasted_iota(i32, (_RF, _LANES, 128), 2)
+        ar256 = jax.lax.broadcasted_iota(i32, (_RF, _LANES, 256), 2)
+        wx, wy, wz = cx & 1023, cy & 1023, cz & 1023
+        in_w = (wx < Sx) & (wy < Sy) & (wz < Sz)
+        blin = ((wx >> 3) * By + (wy >> 3)) * Bz + (wz >> 3)
+        blin = jnp.where(in_w, blin, 0)
+        m1m = _row_m1(meta_ref, blin >> 7, ar128)
+        col0 = (blin * 2) & 255
+        v16 = _sel_byte(m1m, col0, ar256) | (_sel_byte(m1m, col0 + 1, ar256) << 8)
+        cls = v16 >> 14
+        vox = ((wx & 7) * 8 + (wy & 7)) * 8 + (wz & 7)
+        umat = v16 & 15
+        # masked-brick occupancy bit
+        kslot = jnp.where(cls == 2, (v16 >> 4) & 0x3FF, 0)
+        kbyte = kslot * 64 + (vox >> 3)
+        kb = _sel_byte(_row_m1(mask_ref, kbyte >> 8, ar128), kbyte & 255, ar256)
+        kbit = (jax.lax.shift_right_logical(kb, vox & 7)) & 1
+        # multi-brick nibble (one 256 B row per slot)
+        uslot = jnp.where(cls == 3, v16 & 0x3FFF, 0)
+        ub = _sel_byte(_row_m1(multi_ref, uslot, ar128), vox >> 1, ar256)
+        nib = (jax.lax.shift_right_logical(ub, (vox & 1) << 2)) & 0xF
+        is_lic = (cls == 3) & (nib >= air0)
+        m = jnp.where(
+            cls == 0, 0,
+            jnp.where(
+                cls == 1, umat,
+                jnp.where(cls == 2, jnp.where(kbit > 0, umat, 0),
+                          jnp.where(is_lic, 0, nib)),
+            ),
+        )
+        m = jnp.where(in_w, m, 0)
+        vr = jnp.where(is_lic & in_w, nib - air0 + 1, 0)
+        d_pri = jnp.where(in_w & (cls == 0), v16 & 31, 0)
+        d_sh = jnp.where(in_w & (cls <= 1), (v16 >> 5) & 31, 0)
+        return m, vr, d_pri, d_sh
+
+    def resolve(cx, cy, cz):
+        outs = []
+        for c in range(R // _RF):
+            sl = slice(c * _RF, (c + 1) * _RF)
+            outs.append(resolve_chunk(cx[sl], cy[sl], cz[sl]))
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+
+    def axis_count(t_m, t, a, n, is_exit):
+        c = jnp.where(t_m >= t, jnp.floor((t_m - t) / a).astype(i32) + 1, 0)
+        c = jnp.minimum(c, n - 1)
+        c = jnp.where(is_exit, n, c)
+        return jnp.maximum(c, 0)
+
+    def tie_break(ta, tb, tc):
+        ma = (ta < tb) & (ta < tc)
+        mb = ~ma & (tb < tc)
+        mc = ~(ma | mb)
+        return ma, mb, mc, jnp.where(ma, ta, jnp.where(mb, tb, tc))
+
+    def to_shadow(gate, st8):
+        """Hit-lane transition: save hit state; qualified lanes rebuild the ray
+        toward the sun and take the forced pre-step (fast._shadow_march_fast),
+        others finish. gate lanes must have mat != 0 set already."""
+        (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+         ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+         st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = st8
+        hcx = jnp.where(gate, cx, hcx)
+        hcy = jnp.where(gate, cy, hcy)
+        hcz = jnp.where(gate, cz, hcz)
+        hla = jnp.where(gate, la, hla)
+        hlt = jnp.where(gate, lt, hlt)
+        hitf = jnp.where(gate, 1, hitf)
+        s_la = jnp.where(la == 0, sx, jnp.where(la == 1, sy, sz))
+        sun_la = jnp.where(la == 0, sun[0], jnp.where(la == 1, sun[1], sun[2]))
+        facing = (sun_la * -s_la) > 0
+        go = gate & facing & (refl == 0) if enable_shadows else gate & False
+        ph = jnp.where(gate, jnp.where(go, 1, 2), ph)
+        if enable_shadows:
+            # shadow DDA init at the hit point, exiting through the hit face
+            px = ox + lt * dx
+            py = oy + lt * dy
+            pz = oz + lt * dz
+            stx = sun_ab[0] - (px + jnp.minimum(sun_s[0], 0.0) - cx.astype(f32)) * sun_dl[0]
+            sty = sun_ab[1] - (py + jnp.minimum(sun_s[1], 0.0) - cy.astype(f32)) * sun_dl[1]
+            stz = sun_ab[2] - (pz + jnp.minimum(sun_s[2], 0.0) - cz.astype(f32)) * sun_dl[2]
+            stx = stx - jnp.where(la == 0, sun_ab[0], 0.0)
+            sty = sty - jnp.where(la == 1, sun_ab[1], 0.0)
+            stz = stz - jnp.where(la == 2, sun_ab[2], 0.0)
+            # forced first step (the hit block itself is not re-tested)
+            mx, my, mz, t_m = tie_break(stx, sty, stz)
+            isx = jnp.where(sun_s[0] > 0, 1, -1)
+            isy = jnp.where(sun_s[1] > 0, 1, -1)
+            isz = jnp.where(sun_s[2] > 0, 1, -1)
+            cx = jnp.where(go & mx, cx + isx, cx)
+            cy = jnp.where(go & my, cy + isy, cy)
+            cz = jnp.where(go & mz, cz + isz, cz)
+            stx = jnp.where(go & mx, stx + sun_ab[0], stx)
+            sty = jnp.where(go & my, sty + sun_ab[1], sty)
+            stz = jnp.where(go & mz, stz + sun_ab[2], stz)
+            tx = jnp.where(go, stx, tx)
+            ty = jnp.where(go, sty, ty)
+            tz = jnp.where(go, stz, tz)
+            la = jnp.where(go, jnp.where(mx, 0, jnp.where(my, 1, 2)), la)
+            lt = jnp.where(go, t_m, lt)
+            st_sh = jnp.where(go, 1, st_sh)
+        return (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+                ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+                st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh)
+
+    def material_plane(st8, is_refl_e, is_refr_e, m_liq):
+        """renderer.material_step on plane state (masked lanes only)."""
+        (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+         ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+         st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = st8
+        px = ox + lt * dx
+        py = oy + lt * dy
+        pz = oz + lt * dz
+        l0, l1, l2 = la == 0, la == 1, la == 2
+        # ---- reflection (reflectRay, low_res.frag:178-194)
+        dx = jnp.where(is_refl_e & l0, -dx, dx)
+        dy = jnp.where(is_refl_e & l1, -dy, dy)
+        dz = jnp.where(is_refl_e & l2, -dz, dz)
+        sx = jnp.where(is_refl_e & l0, -sx, sx)
+        sy = jnp.where(is_refl_e & l1, -sy, sy)
+        sz = jnp.where(is_refl_e & l2, -sz, sz)
+        tx = jnp.where(is_refl_e & l0, tx - adx, tx)
+        ty = jnp.where(is_refl_e & l1, ty - ady, ty)
+        tz = jnp.where(is_refl_e & l2, tz - adz, tz)
+        ox = jnp.where(is_refl_e, px - lt * dx, ox)
+        oy = jnp.where(is_refl_e, py - lt * dy, oy)
+        oz = jnp.where(is_refl_e, pz - lt * dz, oz)
+        cr = jnp.where(is_refl_e, cr * 0.94, cr)
+        cg = jnp.where(is_refl_e, cg * 0.94, cg)
+        cb = jnp.where(is_refl_e, cb * 0.94, cb)
+        refl = jnp.where(is_refl_e, 1, refl)
+        # ---- refraction (refractRay, low_res.frag:198-240)
+        cr = jnp.where(is_refr_e, cr * jnp.where(m_liq, 0.94, 0.95), cr)
+        cg = jnp.where(is_refr_e, cg * jnp.where(m_liq, 0.97, 0.95), cg)
+        cb = jnp.where(is_refr_e, cb * jnp.where(m_liq, 1.0, 0.95), cb)
+        bend = is_refr_e & (ior != 1.1)
+        nx = jnp.where(l0, sx, 0.0)
+        ny = jnp.where(l1, sy, 0.0)
+        nz = jnp.where(l2, sz, 0.0)
+        wob = jnp.sin((time_s + px * 0.2 - pz * 0.1) * 10.0) * 0.2
+        nx = jnp.where(bend & m_liq, nx + wob, nx)
+        nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        nn = jnp.where(nn > 0, nn, 1.0)
+        nx, ny, nz = nx / nn, ny / nn, nz / nn
+        rr = ior / 1.1
+        c1 = nx * dx + ny * dy + nz * dz
+        flip = c1 < 0
+        nx = jnp.where(flip, -nx, nx)
+        ny = jnp.where(flip, -ny, ny)
+        nz = jnp.where(flip, -nz, nz)
+        c1 = jnp.abs(c1)
+        c2 = jnp.sqrt(jnp.maximum(1.0 - rr * rr * (1.0 - c1 * c1), 0.0))
+        k = rr * c1 - c2
+        bdx = rr * dx + k * nx
+        bdy = rr * dy + k * ny
+        bdz = rr * dz + k * nz
+        # _build_ray on the bent direction (sanitize + step/delta/abs)
+        eps = jnp.float32(1e-12)
+        bdx = jnp.where(jnp.abs(bdx) < eps, eps, bdx)
+        bdy = jnp.where(jnp.abs(bdy) < eps, eps, bdy)
+        bdz = jnp.where(jnp.abs(bdz) < eps, eps, bdz)
+        bsx = jnp.where(bdx < 0, -1.0, 1.0)
+        bsy = jnp.where(bdy < 0, -1.0, 1.0)
+        bsz = jnp.where(bdz < 0, -1.0, 1.0)
+        bdlx, bdly, bdlz = 1.0 / bdx, 1.0 / bdy, 1.0 / bdz
+        bax, bay, baz = jnp.abs(bdlx), jnp.abs(bdly), jnp.abs(bdlz)
+        btx = bax - (px + jnp.minimum(bsx, 0.0) - cx.astype(f32)) * bdlx
+        bty = bay - (py + jnp.minimum(bsy, 0.0) - cy.astype(f32)) * bdly
+        btz = baz - (pz + jnp.minimum(bsz, 0.0) - cz.astype(f32)) * bdlz
+        dx = jnp.where(bend, bdx, dx)
+        dy = jnp.where(bend, bdy, dy)
+        dz = jnp.where(bend, bdz, dz)
+        sx = jnp.where(bend, bsx, sx)
+        sy = jnp.where(bend, bsy, sy)
+        sz = jnp.where(bend, bsz, sz)
+        adx = jnp.where(bend, bax, adx)
+        ady = jnp.where(bend, bay, ady)
+        adz = jnp.where(bend, baz, adz)
+        tx = jnp.where(bend, btx, tx)
+        ty = jnp.where(bend, bty, ty)
+        tz = jnp.where(bend, btz, tz)
+        ox = jnp.where(bend, px, ox)
+        oy = jnp.where(bend, py, oy)
+        oz = jnp.where(bend, pz, oz)
+        lt = jnp.where(bend, 0.0, lt)
+        ior = jnp.where(is_refr_e, 1.1, ior)
+        return (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+                ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+                st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh)
+
+    def step_once(carry):
+        st8, it = carry[:-1], carry[-1]
+        st8 = tuple(st8)
+        (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+         ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+         st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = st8
+
+        in_pri = ph == 0
+        in_sh = ph == 1
+        m, vr, d_pri, d_sh = resolve(cx, cy, cz)
+
+        # ---- classification (primary: frag:317-328; shadow: frag:383-389)
+        hit_p = in_pri & _word_bit(w_hit, m)
+        evt = in_pri & _word_bit(w_evt, m)
+        mat = jnp.where(in_pri, m, mat)
+        mat_sh = jnp.where(in_sh, m, mat_sh)
+        hit_s = in_sh & _word_bit(w_shhit, m)
+        ph = jnp.where(hit_s, 2, ph)
+
+        st8 = (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+               ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+               st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh)
+
+        # ---- hit lanes -> shadow phase (or done)
+        st8 = to_shadow(hit_p, st8)
+
+        # ---- material events (reflect/refract) on still-marching lanes
+        if enable_materials:
+            is_refl_e = evt & _word_bit(w_refl, m)
+            is_refr_e = evt & ~_word_bit(w_refl, m)
+            m_liq = _word_bit(w_liq, m)
+            st8 = material_plane(st8, is_refl_e, is_refr_e, m_liq)
+
+        (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+         ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+         st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = st8
+
+        # phase-effective step/abs (shadow lanes march along the sun ray)
+        in_sh2 = ph == 1
+        ex = jnp.where(in_sh2, sun_s[0], sx)
+        ey = jnp.where(in_sh2, sun_s[1], sy)
+        ez = jnp.where(in_sh2, sun_s[2], sz)
+        ax_ = jnp.where(in_sh2, sun_ab[0], adx)
+        ay_ = jnp.where(in_sh2, sun_ab[1], ady)
+        az_ = jnp.where(in_sh2, sun_ab[2], adz)
+        iex = jnp.where(ex > 0, 1, -1)
+        iey = jnp.where(ey > 0, 1, -1)
+        iez = jnp.where(ez > 0, 1, -1)
+
+        # ---- exit rules (window slab / sky) on lanes still marching
+        opx, onx = cx >= Sx, cx < 0
+        opy, ony = cy >= Sy, cy < 0
+        opz, onz = cz >= Sz, cz < 0
+        inside = ~(opx | onx | opy | ony | opz | onz)
+        away = (
+            (opx & (ex > 0)) | (onx & (ex < 0))
+            | (opy & (ey > 0)) | (ony & (ey < 0))
+            | (opz & (ez > 0)) | (onz & (ez < 0))
+        )
+        sky = (cy > y_max) & (ey > 0)
+        marching = (in_pri & ~hit_p) | (in_sh & ~hit_s)
+        marching = marching & (ph != 2)
+        ph = jnp.where(marching & (away | sky), 2, ph)
+        march = marching & ~(away | sky)
+
+        # ---- box bounds: brick license (phase-dep), voxel license, or slab
+        D = jnp.where(in_sh2, d_sh, d_pri)
+        use_b = D >= 1
+        bx, by, bz = (cx & 1023) >> 3, (cy & 1023) >> 3, (cz & 1023) >> 3
+        rb = D - 1
+        lox = jnp.where(inside, jnp.where(use_b, (bx - rb) << 3, cx - vr),
+                        jnp.where(opx, Sx, -_BIG))
+        hix = jnp.where(inside, jnp.where(use_b, ((bx + rb + 1) << 3) - 1, cx + vr),
+                        jnp.where(onx, -1, _BIG))
+        loy = jnp.where(inside, jnp.where(use_b, (by - rb) << 3, cy - vr),
+                        jnp.where(opy, Sy, -_BIG))
+        hiy = jnp.where(inside, jnp.where(use_b, ((by + rb + 1) << 3) - 1, cy + vr),
+                        jnp.where(ony, -1, _BIG))
+        loz = jnp.where(inside, jnp.where(use_b, (bz - rb) << 3, cz - vr),
+                        jnp.where(opz, Sz, -_BIG))
+        hiz = jnp.where(inside, jnp.where(use_b, ((bz + rb + 1) << 3) - 1, cz + vr),
+                        jnp.where(onz, -1, _BIG))
+
+        nx = jnp.clip(jnp.where(ex > 0, hix + 1 - cx, cx - lox + 1), 1, _MAX_JUMP)
+        ny = jnp.clip(jnp.where(ey > 0, hiy + 1 - cy, cy - loy + 1), 1, _MAX_JUMP)
+        nz = jnp.clip(jnp.where(ez > 0, hiz + 1 - cz, cz - loz + 1), 1, _MAX_JUMP)
+        tex = tx + (nx - 1).astype(f32) * ax_
+        tey = ty + (ny - 1).astype(f32) * ay_
+        tez = tz + (nz - 1).astype(f32) * az_
+        mx, my, mz, t_m = tie_break(tex, tey, tez)
+        ccx = axis_count(t_m, tx, ax_, nx, mx)
+        ccy = axis_count(t_m, ty, ay_, ny, my)
+        ccz = axis_count(t_m, tz, az_, nz, mz)
+
+        cx = jnp.where(march, cx + ccx * iex, cx)
+        cy = jnp.where(march, cy + ccy * iey, cy)
+        cz = jnp.where(march, cz + ccz * iez, cz)
+        tx = jnp.where(march, tx + ccx.astype(f32) * ax_, tx)
+        ty = jnp.where(march, ty + ccy.astype(f32) * ay_, ty)
+        tz = jnp.where(march, tz + ccz.astype(f32) * az_, tz)
+        la = jnp.where(march, jnp.where(mx, 0, jnp.where(my, 1, 2)), la)
+        lt = jnp.where(march, t_m, lt)
+        cc = ccx + ccy + ccz
+        st = st + jnp.where(march & ~in_sh2, cc, 0)
+        st_sh = st_sh + jnp.where(march & in_sh2, cc, 0)
+
+        # ---- budget freezes; frozen primary lanes still shadow (fast parity)
+        froze_p = march & ~in_sh2 & (st >= budget)
+        froze_s = march & in_sh2 & (st_sh >= sh_budget)
+        ph = jnp.where(froze_s, 2, ph)
+        st8 = (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+               ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+               st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh)
+        st8 = to_shadow(froze_p & (mat != 0), st8)
+        ph = st8[27]
+        ph = jnp.where(froze_p & (mat == 0), 2, ph)
+        st8 = st8[:27] + (ph,) + st8[28:]
+
+        progressed = march | hit_p
+        it = jnp.where(jnp.any(progressed), it + 1, _ITER_CAP)
+        return st8 + (it,)
+
+    def cond(carry):
+        return carry[-1] < _ITER_CAP
+
+    # ---- initial state + start-cell specials (low_res.frag:299-307)
+    cx, cy, cz = cx0[:], cy0[:], cz0[:]
+    m0, _, _, _ = resolve(cx, cy, cz)
+    refr0 = _word_bit(w_refr, m0) & (m0 != 0)
+    raw0 = (m0 != 0) & ~refr0
+    valid = val0[:] != 0
+    ph_i = jnp.where(raw0 | ~valid, 2, 0).astype(i32)
+    zi = jnp.zeros((R, _LANES), i32)
+    zf = jnp.zeros((R, _LANES), f32)
+    init = (
+        cx, cy, cz, tx0[:], ty0[:], tz0[:], dx0[:], dy0[:], dz0[:],
+        sx0[:], sy0[:], sz0[:], ax0[:], ay0[:], az0[:], px0[:], py0[:], pz0[:],
+        zf,  # lt
+        zi,  # la
+        jnp.ones((R, _LANES), f32), jnp.ones((R, _LANES), f32),
+        jnp.ones((R, _LANES), f32),  # color_mod
+        jnp.where(refr0, 1.1, 1.0).astype(f32),  # ior
+        jnp.where(raw0, m0, 0),  # mat
+        zi,  # refl
+        zi,  # hitf
+        ph_i,
+        zi, zi,  # st, st_sh
+        cx, cy, cz,  # hit cell
+        zi, zf,  # hla, hlt
+        zi,  # mat_sh
+        jnp.zeros((), i32),
+    )
+    out = jax.lax.while_loop(cond, step_once, init)
+    (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
+     ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
+     st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = out[:-1]
+
+    h = hitf != 0
+    omat0[:] = m0
+    omat[:] = mat
+    ocx[:] = jnp.where(h, hcx, cx)
+    ocy[:] = jnp.where(h, hcy, cy)
+    ocz[:] = jnp.where(h, hcz, cz)
+    ola[:] = jnp.where(h, hla, la)
+    orefl[:] = refl
+    oshad[:] = (mat_sh != 0).astype(i32)
+    ost[:] = st
+    odx[:], ody[:], odz[:] = dx, dy, dz
+    osx[:], osy[:], osz[:] = sx, sy, sz
+    oox[:], ooy[:], ooz[:] = ox, oy, oz
+    olt[:] = jnp.where(h, hlt, lt)
+    ocr[:], ocg[:], ocb[:] = cr, cg, cb
+
+
+# --------------------------------------------------------------------------
+# host wrapper
+
+
+def _planes(a, n_pad, fill=0):
+    if n_pad:
+        a = jnp.concatenate([a, jnp.full((n_pad,), fill, a.dtype)])
+    return a.reshape(-1, _LANES)
+
+
+def _luts(scene: Scene, cfg: RenderConfig):
+    """16-bit LUT words over material ids (jit-traceable from scene.flags)."""
+    fl = scene.flags
+    P = fl.shape[0]
+    fl16 = jnp.concatenate([fl, jnp.zeros(16, fl.dtype)])[:16] if P < 16 else fl[:16]
+    ids = jnp.arange(16, dtype=jnp.int32)
+    solid = ids > 0
+    f7 = fl16 & 0x7
+    refl_b = solid & (f7 == 0x3)
+    refr_b = solid & (f7 == 0x5)
+    if cfg.enable_materials:
+        hit_b = solid & ~refl_b & ~refr_b
+        evt_b = refl_b | refr_b
+    else:
+        hit_b = solid
+        evt_b = jnp.zeros_like(solid)
+    liq_b = (fl16 & int(Properties.LIQUID)) > 0
+    refrf_b = (fl16 & int(Properties.REFRACTIVE)) > 0
+    shhit_b = solid & ~liq_b
+
+    def word(mask):
+        return (mask.astype(jnp.int32) << ids).sum()
+
+    return word(hit_b), word(evt_b), word(refl_b), word(liq_b), word(refrf_b), word(shhit_b)
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_supported() -> bool:
+    from .pallas_march import pallas_supported as _ps
+
+    return _ps()
+
+
+_OUT_DTYPES = (
+    [jnp.int32] * 9 + [jnp.float32] * 13
+)
+
+
+def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, interpret):
+    """Run the fused kernel on a fast._init_state-style _March ``s``.
+    Returns the dict of per-lane outputs (unpadded)."""
+    N = s.cell.shape[0]
+    tile = _TILE_ROWS * _LANES
+    n_pad = (-N) % tile
+    NP = N + n_pad
+    f32 = jnp.float32
+
+    sun = jnp.asarray(cfg.sun_dir, f32)
+    sun = sun / jnp.linalg.norm(sun)
+    eps = jnp.float32(1e-12)
+    sun_sane = jnp.where(jnp.abs(sun) < eps, eps, sun)
+    sun_step = jnp.where(sun_sane < 0, -1.0, 1.0)
+    sun_delta = 1.0 / sun_sane
+    sun_abs = jnp.abs(sun_delta)
+    if time_s is None:
+        time_s = cfg.time
+    scal_f = jnp.concatenate(
+        [jnp.asarray(time_s, f32).reshape(1), sun_sane, sun_step, sun_delta, sun_abs]
+    )
+    w_hit, w_evt, w_refl, w_liq, w_refr, w_shhit = _luts(scene, cfg)
+    scal_i = jnp.stack(
+        [
+            jnp.asarray(scene.y_max, jnp.int32),
+            jnp.asarray(cfg.max_steps, jnp.int32),
+            jnp.asarray(cfg.shadow_steps, jnp.int32),
+            w_hit, w_evt, w_refl, w_liq, w_refr, w_shhit,
+        ]
+    )
+
+    p = lambda a, fill=0: _planes(a, n_pad, fill)
+    ins = (
+        p(s.cell[:, 0]), p(s.cell[:, 1]), p(s.cell[:, 2]),
+        p(s.tmax[:, 0]), p(s.tmax[:, 1]), p(s.tmax[:, 2]),
+        p(s.dir[:, 0], 1.0), p(s.dir[:, 1], 1.0), p(s.dir[:, 2], 1.0),
+        p(s.step[:, 0], 1.0), p(s.step[:, 1], 1.0), p(s.step[:, 2], 1.0),
+        p(s.abs_delta[:, 0], 1.0), p(s.abs_delta[:, 1], 1.0), p(s.abs_delta[:, 2], 1.0),
+        p(s.seg_origin[:, 0]), p(s.seg_origin[:, 1]), p(s.seg_origin[:, 2]),
+        p(jnp.ones(N, jnp.int32)),  # valid
+    )
+
+    kern = functools.partial(
+        _fused_kernel,
+        shape3=tuple(ft.shape3),
+        bgrid=tuple(ft.bgrid),
+        air0=ft.air0,
+        enable_materials=cfg.enable_materials,
+        enable_shadows=cfg.enable_shadows,
+    )
+    ray_spec = pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tabs = [jnp.asarray(t, jnp.float32).astype(jnp.bfloat16)
+            for t in (ft.meta, ft.mask, ft.multi)]
+    tab_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0)) for t in tabs]
+    outs = pl.pallas_call(
+        kern,
+        grid=(NP // tile,),
+        in_specs=[smem_spec, smem_spec] + tab_specs + [ray_spec] * 19,
+        out_specs=[ray_spec] * 22,
+        out_shape=[
+            jax.ShapeDtypeStruct((NP // _LANES, _LANES), dt) for dt in _OUT_DTYPES
+        ],
+        interpret=interpret,
+    )(scal_i, scal_f, *tabs, *ins)
+    o = [x.reshape(-1)[:N] for x in outs]
+    return {
+        "mat0": o[0], "mat": o[1],
+        "cell": jnp.stack(o[2:5], axis=1),
+        "la": o[5], "refl": o[6] != 0, "shad": o[7] != 0, "steps": o[8],
+        "dir": jnp.stack(o[9:12], axis=1),
+        "step": jnp.stack(o[12:15], axis=1),
+        "seg_origin": jnp.stack(o[15:18], axis=1),
+        "lt": o[18],
+        "color_mod": jnp.stack(o[19:22], axis=1),
+    }
+
+
+def _block_perm(H, W, b=64):
+    """Row-major pixel order -> b x b blocks (and its inverse), as index maps."""
+    idx = np.arange(H * W).reshape(H, W)
+    blocks = idx.reshape(H // b, b, W // b, b).transpose(0, 2, 1, 3).reshape(-1)
+    inv = np.empty_like(blocks)
+    inv[blocks] = np.arange(H * W)
+    return blocks, inv
+
+
+def render_rays_fused(
+    scene: Scene,
+    ft: FusedTables,
+    origin,
+    dirs,
+    cfg: RenderConfig,
+    start_t=None,
+    time_s=None,
+    interpret=None,
+    image_hw=None,
+):
+    """Fused-kernel render of arbitrary rays -> (rgb [N,3], aux).
+
+    Semantics of render/fast.py (the oracle-validated path); shading runs the
+    SHARED renderer.shade on the kernel's outputs. ``image_hw=(H, W)`` remaps
+    rays into 64x64 pixel blocks so each kernel tile is spatially coherent
+    (per-tile early exit then tracks local scene depth, not the global worst
+    ray).
+    """
+    from ..render import fast as _fast
+    from ..render.renderer import shade, _March, _onehot
+
+    if interpret is None:
+        interpret = not pallas_supported()
+    f32 = jnp.float32
+    origin = jnp.asarray(origin, f32)
+    dirs = jnp.asarray(dirs, f32)
+    N = dirs.shape[0]
+    if time_s is None:
+        time_s = cfg.time
+
+    perm = inv = None
+    if image_hw is not None:
+        H, W = image_hw
+        if H % 64 == 0 and W % 64 == 0 and H * W == N:
+            pb, inv_ = _block_perm(H, W)
+            perm = jnp.asarray(pb)
+            inv = jnp.asarray(inv_)
+            dirs = jnp.take(dirs, perm, axis=0)
+            if origin.ndim == 2:
+                origin = jnp.take(origin, perm, axis=0)
+            if start_t is not None:
+                start_t = jnp.take(jnp.asarray(start_t, f32), perm)
+
+    s = _fast._init_state(origin, dirs, jnp.ones(N, f32), start_t=start_t)
+    o = fused_march_call(scene, ft, s, cfg, time_s, interpret)
+
+    mat0 = o["mat0"]
+    flags0 = jnp.take(scene.flags, mat0)
+    refr0 = (flags0 & int(Properties.REFRACTIVE)) > 0
+    raw0 = (mat0 != 0) & ~refr0
+
+    d = o["dir"]
+    abs_delta = jnp.abs(1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d))
+    state = _March(
+        mat=o["mat"],
+        cell=o["cell"],
+        dir=d,
+        step=o["step"],
+        abs_delta=abs_delta,
+        tmax=jnp.zeros((N, 3), f32),
+        seg_origin=o["seg_origin"],
+        last_t=o["lt"],
+        last_axis=o["la"],
+        color_mod=o["color_mod"],
+        ior=jnp.ones(N, f32),
+        reflected=o["refl"],
+        done=jnp.ones(N, bool),
+        steps=o["steps"],
+    )
+    sun = jnp.asarray(cfg.sun_dir, f32)
+    sun = sun / jnp.linalg.norm(sun)
+    shad = o["shad"]
+
+    col, aux = shade(scene, state, raw0, mat0, sun, cfg,
+                     lambda p, cell, la, step, active: shad & active)
+    if inv is not None:
+        col = jnp.take(col, inv, axis=0)
+        aux = {k: jnp.take(v, inv, axis=0) for k, v in aux.items()}
+    return col, aux
+
+
+def render_image_fused(scene, ft, camera, cfg, time_s=None, interpret=None):
+    from ..render.camera import ray_directions
+
+    dirs = ray_directions(camera, cfg.width, cfg.height, cfg.fov_degrees)
+    col, _ = render_rays_fused(
+        scene, ft, camera.pos, dirs, cfg, time_s=time_s, interpret=interpret,
+        image_hw=(cfg.height, cfg.width),
+    )
+    img = col.reshape(cfg.height, cfg.width, 3)
+    if cfg.crosshair:
+        yy = jnp.arange(cfg.height, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(cfg.width, dtype=jnp.float32)[None, :]
+        mrow, mcol = cfg.mouse_px
+        d2 = (yy - mrow) ** 2 + (xx - mcol) ** 2
+        img = jnp.where((d2 <= 9.0)[:, :, None], 1.0, img)
+    return img
+
+
+def tables_for_scene(scene: Scene) -> FusedTables:
+    """Build FusedTables from a device Scene (pulls the grid to host once)."""
+    return build_fused_tables(np.asarray(scene.mat), np.asarray(scene.flags))
