@@ -19,14 +19,16 @@ tree over the window (multi-res leaves expand to their covered voxels); lookups
 wrap coordinates with & 1023 like the reference's bit-digest addressing, and
 anything outside the window is air.
 
-Incremental mirroring: edits mark 8^3 bricks dirty in the host tree; ``apply_
-dirty`` scatters just those bricks into the device arrays — the analog of the
-reference's dirty-slab glBufferSubData upload.
+Incremental mirroring lives in core/mirror.py: edits mark 8^3 bricks dirty and
+only the affected local boxes of each derived field are recomputed and
+device-updated — the analog of the reference's dirty-slab glBufferSubData
+upload (voxel_allocator.hpp:38-78). This module is the FULL flatten (initial
+build / fallback); it has no incremental path.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -275,37 +277,6 @@ def rasterize_tree(tree: VoxelTree, pal: Palette, grid_shape) -> np.ndarray:
         )
         grid[solid] = uniq_ids[inv]
     return grid[: grid_shape[0], : grid_shape[1], : grid_shape[2]]
-
-
-def apply_dirty(
-    scene: Scene,
-    tree: VoxelTree,
-    pal: Palette,
-    bricks: Sequence[Tuple[int, int, int]],
-) -> Scene:
-    """Incremental device update: re-rasterize only the dirty 8^3 bricks.
-
-    The analog of updateSsboData's dirty-slab glBufferSubData path
-    (voxel_allocator.hpp:38-78). Returns a new Scene (functional update); the
-    palette tables are refreshed wholesale (they are tiny).
-    """
-    if not bricks:
-        return scene
-    mat = np.asarray(scene.mat).copy()
-    Sx, Sy, Sz = mat.shape
-    bs = 1 << BRICK_SHIFT
-    from .types import Block  # local import to avoid cycle at module load
-
-    for bx, by, bz in bricks:
-        x0, y0, z0 = bx << BRICK_SHIFT, by << BRICK_SHIFT, bz << BRICK_SHIFT
-        if x0 >= Sx or y0 >= Sy or z0 >= Sz or x0 < 0 or y0 < 0 or z0 < 0:
-            continue
-        for dx in range(min(bs, Sx - x0)):
-            for dy in range(min(bs, Sy - y0)):
-                for dz in range(min(bs, Sz - z0)):
-                    blk = tree.get_block((x0 + dx, y0 + dy, z0 + dz))
-                    mat[x0 + dx, y0 + dy, z0 + dz] = pal.id_for(blk) if not blk.is_air else 0
-    return scene_from_grid(mat, pal)
 
 
 def lookup_material(scene: Scene, x, y, z):

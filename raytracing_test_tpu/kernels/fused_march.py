@@ -65,22 +65,20 @@ _SF_TIME, _SF_SUN, _SF_SSTEP, _SF_SDELTA, _SF_SABS = 0, 1, 4, 7, 10
 # in-kernel lookup machinery
 
 
-def _row_m1(tab_ref, row_idx, ar128):
+def _row_m1(tab_ref, row_idx):
     """One-hot row fetch: tab_ref (A,256) bf16, row_idx (RF,128) i32 in [0,A)
-    -> m1 (RF,128,256) f32 = tab[row_idx]. Banked in 128-row chunks so the
-    one-hot intermediate stays (RF,128,128)."""
+    -> m1 (RF,128,256) f32 = tab[row_idx]. One full-K matmul: K = A up to
+    ~1280 keeps the MXU pipeline full (nine K=128 bank matmuls measured ~3x
+    slower than their FLOPs)."""
     A = tab_ref.shape[0]
-    m1 = jnp.zeros((_RF, _LANES, 256), jnp.float32)
-    for k in range(A // 128):
-        ohk = ((row_idx - k * 128)[:, :, None] == ar128).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            ohk.reshape(_RF * _LANES, 128),
-            tab_ref[k * 128 : (k + 1) * 128, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(_RF, _LANES, 256)
-        m1 = m1 + part
-    return m1
+    ar = jax.lax.broadcasted_iota(jnp.int32, (_RF, _LANES, A), 2)
+    oh = (row_idx[:, :, None] == ar).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        oh.reshape(_RF * _LANES, A),
+        tab_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(_RF, _LANES, 256)
 
 
 def _sel_byte(m1, col, ar256):
@@ -108,7 +106,7 @@ def _fused_kernel(
     cx0, cy0, cz0, tx0, ty0, tz0, dx0, dy0, dz0,
     sx0, sy0, sz0, ax0, ay0, az0, px0, py0, pz0, val0,
     omat0, omat, ocx, ocy, ocz, ola, orefl, oshad, ost,
-    odx, ody, odz, osx, osy, osz, oox, ooy, ooz, olt, ocr, ocg, ocb,
+    odx, ody, odz, osx, osy, osz, oox, ooy, ooz, olt, ocr, ocg, ocb, oit,
     *,
     shape3, bgrid, air0, enable_materials, enable_shadows,
 ):
@@ -131,52 +129,81 @@ def _fused_kernel(
     sun_dl = [scal_f[_SF_SDELTA + k] for k in range(3)]
     sun_ab = [scal_f[_SF_SABS + k] for k in range(3)]
 
-    def resolve_chunk(cx, cy, cz):
-        """(RF,128) cells -> (m, vr, d_pri, d_sh, in_w). m = material id at the
-        voxel (0 outside the window); vr = in-brick air license radius; d_pri /
-        d_sh = brick-level licenses (>=1 only on jumpable bricks)."""
-        ar128 = jax.lax.broadcasted_iota(i32, (_RF, _LANES, 128), 2)
-        ar256 = jax.lax.broadcasted_iota(i32, (_RF, _LANES, 256), 2)
+    def resolve(cx, cy, cz, act):
+        """(R,128) cells -> (m, vr, d_pri, d_sh). m = material id at the voxel
+        (0 outside the window); vr = in-brick air license radius; d_pri / d_sh
+        = brick-level licenses (>=1 only on jumpable bricks).
+
+        Two phases: the brick-meta fetch runs every iteration (one K=128
+        matmul per half-tile); the POOL fetches — the expensive matmuls — run
+        under a single lax.cond that fires only when some ACTIVE lane actually
+        sits in a masked/multi brick, so empty-space approach iterations, sky
+        tiles and straggler tails skip them entirely. ``act`` masks settled
+        lanes to the air class so a tile with one straggler stops paying for
+        the 4095 finished lanes parked on surface bricks."""
         wx, wy, wz = cx & 1023, cy & 1023, cz & 1023
-        in_w = (wx < Sx) & (wy < Sy) & (wz < Sz)
+        in_w = (wx < Sx) & (wy < Sy) & (wz < Sz) & act
         blin = ((wx >> 3) * By + (wy >> 3)) * Bz + (wz >> 3)
         blin = jnp.where(in_w, blin, 0)
-        m1m = _row_m1(meta_ref, blin >> 7, ar128)
-        col0 = (blin * 2) & 255
-        v16 = _sel_byte(m1m, col0, ar256) | (_sel_byte(m1m, col0 + 1, ar256) << 8)
-        cls = v16 >> 14
         vox = ((wx & 7) * 8 + (wy & 7)) * 8 + (wz & 7)
-        umat = v16 & 15
-        # masked-brick occupancy bit
-        kslot = jnp.where(cls == 2, (v16 >> 4) & 0x3FF, 0)
-        kbyte = kslot * 64 + (vox >> 3)
-        kb = _sel_byte(_row_m1(mask_ref, kbyte >> 8, ar128), kbyte & 255, ar256)
+
+        # phase A: meta u16 per lane, half-tile chunks (VMEM-bounded)
+        MF = 8
+        v16s = []
+        for c in range(R // MF):
+            sl = slice(c * MF, (c + 1) * MF)
+            bl = blin[sl]
+            ar = jax.lax.broadcasted_iota(i32, (MF, _LANES, meta_ref.shape[0]), 2)
+            oh = ((bl >> 7)[:, :, None] == ar).astype(jnp.bfloat16)
+            m1 = jax.lax.dot_general(
+                oh.reshape(MF * _LANES, meta_ref.shape[0]), meta_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).reshape(MF, _LANES, 256)
+            ar256 = jax.lax.broadcasted_iota(i32, (MF, _LANES, 256), 2)
+            col0 = (bl * 2) & 255
+            lo = (jnp.where(col0[:, :, None] == ar256, m1, 0.0)
+                  .sum(axis=2, dtype=jnp.float32).astype(i32))
+            hi = (jnp.where((col0 + 1)[:, :, None] == ar256, m1, 0.0)
+                  .sum(axis=2, dtype=jnp.float32).astype(i32))
+            v16s.append(lo | (hi << 8))
+        v16 = jnp.concatenate(v16s, axis=0)
+        v16 = jnp.where(in_w, v16, 0)
+        cls = v16 >> 14
+
+        # phase B: pool fetches (one cond for the whole tile)
+        def pools(_):
+            ar256 = jax.lax.broadcasted_iota(i32, (_RF, _LANES, 256), 2)
+            kbs, ubs = [], []
+            for c in range(R // _RF):
+                sl = slice(c * _RF, (c + 1) * _RF)
+                cls_c, v_c, vox_c = cls[sl], v16[sl], vox[sl]
+                kslot = jnp.where(cls_c == 2, (v_c >> 4) & 0x3FF, 0)
+                kbyte = kslot * 64 + (vox_c >> 3)
+                kbs.append(_sel_byte(_row_m1(mask_ref, kbyte >> 8), kbyte & 255, ar256))
+                uslot = jnp.where(cls_c == 3, v_c & 0x3FFF, 0)
+                ubs.append(_sel_byte(_row_m1(multi_ref, uslot), vox_c >> 1, ar256))
+            return jnp.concatenate(kbs, axis=0), jnp.concatenate(ubs, axis=0)
+
+        def no_pools(_):
+            z = jnp.zeros((R, _LANES), i32)
+            return z, z
+
+        kb, ub = jax.lax.cond(jnp.any(cls >= 2), pools, no_pools, 0)
         kbit = (jax.lax.shift_right_logical(kb, vox & 7)) & 1
-        # multi-brick nibble (one 256 B row per slot)
-        uslot = jnp.where(cls == 3, v16 & 0x3FFF, 0)
-        ub = _sel_byte(_row_m1(multi_ref, uslot, ar128), vox >> 1, ar256)
         nib = (jax.lax.shift_right_logical(ub, (vox & 1) << 2)) & 0xF
         is_lic = (cls == 3) & (nib >= air0)
         m = jnp.where(
             cls == 0, 0,
             jnp.where(
-                cls == 1, umat,
-                jnp.where(cls == 2, jnp.where(kbit > 0, umat, 0),
+                cls == 1, v16 & 15,
+                jnp.where(cls == 2, jnp.where(kbit > 0, v16 & 15, 0),
                           jnp.where(is_lic, 0, nib)),
             ),
         )
-        m = jnp.where(in_w, m, 0)
-        vr = jnp.where(is_lic & in_w, nib - air0 + 1, 0)
-        d_pri = jnp.where(in_w & (cls == 0), v16 & 31, 0)
-        d_sh = jnp.where(in_w & (cls <= 1), (v16 >> 5) & 31, 0)
+        vr = jnp.where(is_lic, nib - air0 + 1, 0)
+        d_pri = jnp.where(cls == 0, v16 & 31, 0)
+        d_sh = jnp.where(cls <= 1, (v16 >> 5) & 31, 0)
         return m, vr, d_pri, d_sh
-
-    def resolve(cx, cy, cz):
-        outs = []
-        for c in range(R // _RF):
-            sl = slice(c * _RF, (c + 1) * _RF)
-            outs.append(resolve_chunk(cx[sl], cy[sl], cz[sl]))
-        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
 
     def axis_count(t_m, t, a, n, is_exit):
         c = jnp.where(t_m >= t, jnp.floor((t_m - t) / a).astype(i32) + 1, 0)
@@ -326,7 +353,7 @@ def _fused_kernel(
                 st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh)
 
     def step_once(carry):
-        st8, it = carry[:-1], carry[-1]
+        st8, nit, it = carry[:-2], carry[-2], carry[-1]
         st8 = tuple(st8)
         (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
          ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
@@ -334,7 +361,7 @@ def _fused_kernel(
 
         in_pri = ph == 0
         in_sh = ph == 1
-        m, vr, d_pri, d_sh = resolve(cx, cy, cz)
+        m, vr, d_pri, d_sh = resolve(cx, cy, cz, ph < 2)
 
         # ---- classification (primary: frag:317-328; shadow: frag:383-389)
         hit_p = in_pri & _word_bit(w_hit, m)
@@ -445,17 +472,17 @@ def _fused_kernel(
 
         progressed = march | hit_p
         it = jnp.where(jnp.any(progressed), it + 1, _ITER_CAP)
-        return st8 + (it,)
+        return st8 + (nit + 1, it)
 
     def cond(carry):
         return carry[-1] < _ITER_CAP
 
     # ---- initial state + start-cell specials (low_res.frag:299-307)
     cx, cy, cz = cx0[:], cy0[:], cz0[:]
-    m0, _, _, _ = resolve(cx, cy, cz)
+    valid = val0[:] != 0
+    m0, _, _, _ = resolve(cx, cy, cz, valid)
     refr0 = _word_bit(w_refr, m0) & (m0 != 0)
     raw0 = (m0 != 0) & ~refr0
-    valid = val0[:] != 0
     ph_i = jnp.where(raw0 | ~valid, 2, 0).astype(i32)
     zi = jnp.zeros((R, _LANES), i32)
     zf = jnp.zeros((R, _LANES), f32)
@@ -475,12 +502,13 @@ def _fused_kernel(
         cx, cy, cz,  # hit cell
         zi, zf,  # hla, hlt
         zi,  # mat_sh
-        jnp.zeros((), i32),
+        jnp.zeros((), i32),  # nit (true iteration count, diagnostics)
+        jnp.zeros((), i32),  # it (settle-jumps to _ITER_CAP)
     )
     out = jax.lax.while_loop(cond, step_once, init)
     (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
      ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
-     st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = out[:-1]
+     st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = out[:-2]
 
     h = hitf != 0
     omat0[:] = m0
@@ -497,6 +525,7 @@ def _fused_kernel(
     oox[:], ooy[:], ooz[:] = ox, oy, oz
     olt[:] = jnp.where(h, hlt, lt)
     ocr[:], ocg[:], ocb[:] = cr, cg, cb
+    oit[:] = jnp.zeros((R, _LANES), i32) + out[-2]
 
 
 # --------------------------------------------------------------------------
@@ -543,7 +572,7 @@ def pallas_supported() -> bool:
 
 
 _OUT_DTYPES = (
-    [jnp.int32] * 9 + [jnp.float32] * 13
+    [jnp.int32] * 9 + [jnp.float32] * 13 + [jnp.int32]
 )
 
 
@@ -606,7 +635,7 @@ def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, inter
         kern,
         grid=(NP // tile,),
         in_specs=[smem_spec, smem_spec] + tab_specs + [ray_spec] * 19,
-        out_specs=[ray_spec] * 22,
+        out_specs=[ray_spec] * 23,
         out_shape=[
             jax.ShapeDtypeStruct((NP // _LANES, _LANES), dt) for dt in _OUT_DTYPES
         ],
@@ -622,6 +651,7 @@ def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, inter
         "seg_origin": jnp.stack(o[15:18], axis=1),
         "lt": o[18],
         "color_mod": jnp.stack(o[19:22], axis=1),
+        "tile_iters": o[22],  # per-tile while-loop trips (perf diagnostics)
     }
 
 
@@ -710,6 +740,7 @@ def render_rays_fused(
 
     col, aux = shade(scene, state, raw0, mat0, sun, cfg,
                      lambda p, cell, la, step, active: shad & active)
+    aux["tile_iters"] = o["tile_iters"]
     if inv is not None:
         col = jnp.take(col, inv, axis=0)
         aux = {k: jnp.take(v, inv, axis=0) for k, v in aux.items()}

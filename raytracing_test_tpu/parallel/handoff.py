@@ -129,11 +129,14 @@ def _handoff_march(
         return s
 
     def ship(s, res):
-        """Move each misplaced lane one hop toward its owner."""
+        """Move each misplaced lane one hop toward its owner. Returns the
+        number of lanes shipped from this device (the exchange-volume
+        counter backing docs/SCALING.md's comms model)."""
         own = _owner(s.cell[:, 0], slab_w, n_space)
         move = res & ~s.done & (own != idx)
         send_r = move & (own > idx)
         send_l = move & (own < idx)
+        shipped = jnp.sum(send_r) + jnp.sum(send_l)
         res = res & ~(send_r | send_l)
         if n_space > 1:
             def pp(perm):
@@ -150,7 +153,7 @@ def _handoff_march(
             s_l = jax.tree_util.tree_map(pp(perm_l), s)
             s = _mask_where(in_l, s_l, s)
             res = res | in_r | in_l
-        return s, res
+        return s, res, shipped
 
     def g_active(s, res):
         # over BOTH mesh axes: every device must run the same number of
@@ -159,18 +162,24 @@ def _handoff_march(
         return lax.psum(jnp.sum(res & ~s.done), (DATA_AXIS, SPACE_AXIS))
 
     def cond(carry):
-        s, res, n, r = carry
+        s, res, n, r, shp = carry
         return (r < _MAX_ROUNDS) & (n > 0)
 
     def body(carry):
-        s, res, n, r = carry
+        s, res, n, r, shp = carry
         s = inner(s, res)
-        s, res = ship(s, res)
-        return s, res, g_active(s, res), r + 1
+        s, res, shipped = ship(s, res)
+        return s, res, g_active(s, res), r + 1, shp + shipped
 
-    state, resident, _, _ = lax.while_loop(
-        cond, body, (state, resident, g_active(state, resident), jnp.asarray(0, jnp.int32))
+    state, resident, _, rounds, shipped = lax.while_loop(
+        cond, body,
+        (state, resident, g_active(state, resident), jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32)),
     )
+    stats = {
+        "rounds": rounds,
+        "lanes_shipped": lax.psum(shipped, (DATA_AXIS, SPACE_AXIS)),
+    }
 
     # assemble: exactly one device is resident per lane
     def merge(x):
@@ -179,15 +188,16 @@ def _handoff_march(
             return lax.psum(jnp.where(m, x, False).astype(jnp.int32), SPACE_AXIS) > 0
         return lax.psum(jnp.where(m, x, jnp.zeros((), x.dtype)), SPACE_AXIS)
 
-    return jax.tree_util.tree_map(merge, state)
+    return jax.tree_util.tree_map(merge, state), stats
 
 
 def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mesh):
     """Full-feature fast-path render over a spatially-sharded world with ray
     segment handoff. ``scene`` must be placed by shard_scene_spatial; rays are
-    sharded over the data axis (dp × sp compose). AO is not supported on this
-    path (cfg.enable_ao must be False)."""
-    assert not cfg.enable_ao, "AO is served by the replicated-scene paths"
+    sharded over the data axis (dp × sp compose). Hemisphere AO runs through
+    the collective slab lookup (one psum per AO step — the budget is only
+    ao_rays x ao_steps = 20 x 5, so the per-step collective the handoff loop
+    exists to avoid is immaterial here)."""
     Sx, Sy, Sz = scene.shape3
     shape3 = (Sx, Sy, Sz)
     n_space = mesh.shape[SPACE_AXIS]
@@ -225,7 +235,7 @@ def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mes
         s = s._replace(ior=ior, done=raw0, mat=jnp.where(raw0, mat0, 0))
 
         resident = _owner(s.cell[:, 0], slab_w, n_space) == idx
-        s = _handoff_march(
+        s, stats = _handoff_march(
             scene_slab, shape3, slab_w, n_space, s, resident, cfg,
             jnp.asarray(cfg.max_steps, jnp.int32), shadow=False, time_s=time_s,
         )
@@ -236,8 +246,11 @@ def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mes
                 cfg, sun, active,
             )
 
-        col, _ = renderer.shade(scene_slab, s, raw0, mat0, sun, cfg, shadow_fn)
-        return col
+        col, _ = renderer.shade(
+            scene_slab, s, raw0, mat0, sun, cfg, shadow_fn,
+            ao_lookup_fn=lambda cell: _slab_lookup(scene_slab.mat, shape3, x0, cell),
+        )
+        return col, stats["rounds"], stats["lanes_shipped"]
 
     return _render(
         scene,
@@ -286,7 +299,7 @@ def _shadow_handoff(scene_slab, shape3, slab_w, n_space, p, cell, last_axis, cfg
     )
     idx = lax.axis_index(SPACE_AXIS)
     resident = _owner(s.cell[:, 0], slab_w, n_space) == idx
-    s = _handoff_march(
+    s, _ = _handoff_march(
         scene_slab, shape3, slab_w, n_space, s, resident, cfg,
         jnp.asarray(cfg.shadow_steps, jnp.int32), shadow=True, time_s=None,
     )

@@ -115,7 +115,8 @@ def render_rays_spatial(
                 lookup_fn=lookup,
             )
 
-        col, _ = renderer.shade(scene_slab, s, raw0, mat0, sun, cfg, shadow_fn)
+        col, _ = renderer.shade(scene_slab, s, raw0, mat0, sun, cfg, shadow_fn,
+                                ao_lookup_fn=lookup)
         return col
 
     return _render(scene, jnp.asarray(origin, jnp.float32), jnp.asarray(dirs, jnp.float32))

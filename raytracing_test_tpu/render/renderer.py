@@ -347,9 +347,12 @@ def _shadow_march(scene: Scene, p, cell, last_axis, step, cfg, sun, active, look
     # liquid, matching frag:389)
 
 
-def _ao_march(scene: Scene, p, normal, cfg):
+def _ao_march(scene: Scene, p, normal, cfg, lookup_fn=None):
     """Hemisphere occlusion: K short rays from the hit point (the reference's
-    light_scattering pass, done properly). Returns occlusion fraction [N]."""
+    light_scattering pass, done properly). Returns occlusion fraction [N].
+    ``lookup_fn`` overrides the voxel lookup (spatially-sharded paths inject
+    their collective slab lookup here, like the primary march's)."""
+    lookup = lookup_fn if lookup_fn is not None else (lambda c: _lookup(scene, c))
     N = p.shape[0]
     dirs = oriented_dirs(normal)  # [N, K, 3]
     K = dirs.shape[1]
@@ -365,7 +368,7 @@ def _ao_march(scene: Scene, p, normal, cfg):
         oh = _onehot(ax, p.dtype)
         tmax = tmax + oh * sabs
         cell = cell + (oh * sstep).astype(jnp.int32)
-        m = _lookup(scene, cell)
+        m = lookup(cell)
         return cell, tmax, hit | (m != 0)
 
     hit = jnp.zeros(N * K, bool)
@@ -373,11 +376,14 @@ def _ao_march(scene: Scene, p, normal, cfg):
     return hit.reshape(N, K).mean(axis=1, dtype=p.dtype)
 
 
-def shade(scene: Scene, s: "_March", raw0, mat0, sun, cfg: RenderConfig, shadow_fn):
+def shade(scene: Scene, s: "_March", raw0, mat0, sun, cfg: RenderConfig, shadow_fn,
+          ao_lookup_fn=None):
     """Post-march shading + overlays shared by the naive and fast renderers.
 
     ``shadow_fn(p, cell, last_axis, step, active) -> bool[N]`` runs the sun
     shadow march (each renderer supplies its own marching machinery).
+    ``ao_lookup_fn`` overrides the hemisphere march's voxel lookup (sharded
+    scenes route it through their collective lookup).
     """
     f32 = jnp.float32
     hit = s.mat != 0
@@ -405,7 +411,7 @@ def shade(scene: Scene, s: "_March", raw0, mat0, sun, cfg: RenderConfig, shadow_
 
     if cfg.enable_ao:
         normal = _onehot(s.last_axis, f32) * -s.step
-        occ = _ao_march(scene, p, normal, cfg)
+        occ = _ao_march(scene, p, normal, cfg, lookup_fn=ao_lookup_fn)
         hit_col = hit_col * (1.0 - 0.6 * occ)[:, None]
 
     sky_col = skybox(s.dir, sun) * s.color_mod

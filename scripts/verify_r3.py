@@ -12,6 +12,9 @@ Run one stage at a time:  python scripts/verify_r3.py <stage>
      ran (VERDICT items 2 & 5).
   4: comparison rows: XLA fast 512^2 / 1024^2 full-feature (the number the
      fused kernel must beat 2x), bricks-pallas 512^2 (r02 path).
+  5: window-forward phase split at 1024^2 x 24 (precomputed seed): crossing
+     enumeration alone, + packed-row gather, + compositing — locates the
+     767 ms/M wall (PROBE_r03 s1) before the fused fwd+bwd kernel is designed.
 """
 
 import os
@@ -206,6 +209,66 @@ def main():
             raise
         except Exception as e:
             log(f"s4 FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    if 5 in stages:
+        alarm(560)
+        try:
+            H = W = 1024
+            S = 24
+            albedo, _, _ = flatten.palette_arrays(pal)
+            dscene = diff.diff_scene_from_grid(grid, albedo, solid_density=50.0)
+            dirs = ray_directions(cam, W, H)
+            rcfg_nm = RenderConfig(width=W, height=H, enable_materials=False,
+                                   enable_shadows=False)
+            _, aux = jax.jit(lambda: fm.render_rays_fused(
+                scene, ft, cam.pos, dirs, rcfg_nm, interpret=False,
+                image_hw=(H, W)))()
+            t_hit = jnp.linalg.norm(aux["hit_pos"] - cam.pos[None, :], axis=1)
+            seed_j = jnp.asarray(np.asarray(
+                jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)))
+            o = jnp.asarray(cam.pos, jnp.float32)
+            from raytracing_test_tpu.render.renderer import (
+                _build_ray, _init_tmax)
+
+            def prep(t):
+                d, step, delta, abs_d = _build_ray(dirs * (1 + 1e-6 * t))
+                ob = jnp.broadcast_to(o[None, :], d.shape) + seed_j[:, None] * d
+                cell = jnp.floor(ob).astype(jnp.int32)
+                tmax = _init_tmax(ob, cell, step, delta, abs_d)
+                return ob, d, step, abs_d, cell, tmax
+
+            def enum_only(t):
+                ob, d, step, abs_d, cell, tmax = prep(t)
+                lin, inside, dt, ax_in = diff._enumerate_window(
+                    dscene.density.shape, ob, d, step, abs_d, cell, tmax, S)
+                return dt.sum() + lin.sum()
+
+            dt_ = bench("s5 enumerate only 1024^2x24", jax.jit(enum_only))
+            log(f"s5 -> enumerate {dt_*1e3:.1f} ms")
+
+            packed = diff._pack_fields(dscene)
+
+            def enum_gather(t):
+                ob, d, step, abs_d, cell, tmax = prep(t)
+                lin, inside, dt, ax_in = diff._enumerate_window(
+                    dscene.density.shape, ob, d, step, abs_d, cell, tmax, S)
+                rows = jnp.take(packed, lin.reshape(-1), axis=0)
+                return rows.sum() + dt.sum()
+
+            dt_ = bench("s5 enumerate+gather 1024^2x24", jax.jit(enum_gather))
+            log(f"s5 -> enumerate+gather {dt_*1e3:.1f} ms")
+
+            def full_fwd(t):
+                return diff.render_rays_diff_window(
+                    dscene, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
+                    sky=False, start_t=seed_j, accum="scatter").sum()
+
+            dt_ = bench("s5 full window fwd 1024^2x24", jax.jit(full_fwd))
+            log(f"s5 -> full window fwd {dt_*1e3:.1f} ms")
+        except SystemExit:
+            raise
+        except Exception as e:
+            log(f"s5 FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     log("== verify_r3 done")
 

@@ -89,3 +89,19 @@ def test_handoff_memory_is_sharded(world):
     mesh = meshlib.make_mesh(1, 8)
     sharded = spatial.shard_scene_spatial(world, mesh)
     assert sharded.grid_enc.addressable_shards[0].data.shape[0] == 64 // 8
+
+
+def test_handoff_ao_matches_fast(world):
+    """Hemisphere AO on the handoff path (collective slab lookup) must match
+    the single-device fast path bit-for-bit — the one feature asymmetry left
+    in round 2 (VERDICT item 9)."""
+    cam = Camera(
+        pos=jnp.asarray((35.0, 50.0, 35.0), jnp.float32),
+        dir=jnp.asarray((0.6, -0.5, 0.5), jnp.float32),
+    )
+    rcfg = RenderConfig(width=16, height=16, enable_ao=True)
+    single = _fast_single(world, cam, rcfg)
+    mesh = meshlib.make_mesh(2, 4)
+    sharded = spatial.shard_scene_spatial(world, mesh)
+    img = handoff.render_image_handoff(sharded, cam, rcfg, mesh)
+    np.testing.assert_array_equal(img, single)
