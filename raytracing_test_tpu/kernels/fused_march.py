@@ -67,24 +67,29 @@ _SF_TIME, _SF_SUN, _SF_SSTEP, _SF_SDELTA, _SF_SABS = 0, 1, 4, 7, 10
 
 def _row_m1(tab_ref, row_idx):
     """One-hot row fetch: tab_ref (A,256) bf16, row_idx (RF,128) i32 in [0,A)
-    -> m1 (RF,128,256) f32 = tab[row_idx]. One full-K matmul: K = A up to
-    ~1280 keeps the MXU pipeline full (nine K=128 bank matmuls measured ~3x
-    slower than their FLOPs)."""
+    -> m1 (RF,128,256) BF16 = tab[row_idx]. One full-K matmul: K = A up to
+    ~1280 keeps the MXU pipeline full (nine K=128 bank matmuls measured 7.4 vs
+    3.6 ms/iter/M — PROBE_r03). bf16 holds byte values exactly and halves the
+    m1 bandwidth through the selects (the measured select cost at f32 doubled
+    the whole lookup)."""
     A = tab_ref.shape[0]
     ar = jax.lax.broadcasted_iota(jnp.int32, (_RF, _LANES, A), 2)
     oh = (row_idx[:, :, None] == ar).astype(jnp.bfloat16)
+    # Mosaic requires a 32-bit matmul accumulator; the cast back to bf16 is
+    # one cheap pass and halves the m1 bandwidth through the selects
     return jax.lax.dot_general(
         oh.reshape(_RF * _LANES, A),
         tab_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(_RF, _LANES, 256)
+    ).astype(jnp.bfloat16).reshape(_RF, _LANES, 256)
 
 
 def _sel_byte(m1, col, ar256):
-    """Select byte ``col`` (i32 in [0,256)) from each lane's 256-byte row."""
+    """Select byte ``col`` (i32 in [0,256)) from each lane's bf16 row (exact:
+    one-hot select of values <= 255)."""
     return (
-        jnp.where(col[:, :, None] == ar256, m1, 0.0)
+        jnp.where(col[:, :, None] == ar256, m1, jnp.bfloat16(0.0))
         .sum(axis=2, dtype=jnp.float32)
         .astype(jnp.int32)
     )
@@ -158,12 +163,12 @@ def _fused_kernel(
             m1 = jax.lax.dot_general(
                 oh.reshape(MF * _LANES, meta_ref.shape[0]), meta_ref[:],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ).reshape(MF, _LANES, 256)
+            ).astype(jnp.bfloat16).reshape(MF, _LANES, 256)
             ar256 = jax.lax.broadcasted_iota(i32, (MF, _LANES, 256), 2)
             col0 = (bl * 2) & 255
-            lo = (jnp.where(col0[:, :, None] == ar256, m1, 0.0)
+            lo = (jnp.where(col0[:, :, None] == ar256, m1, jnp.bfloat16(0.0))
                   .sum(axis=2, dtype=jnp.float32).astype(i32))
-            hi = (jnp.where((col0 + 1)[:, :, None] == ar256, m1, 0.0)
+            hi = (jnp.where((col0 + 1)[:, :, None] == ar256, m1, jnp.bfloat16(0.0))
                   .sum(axis=2, dtype=jnp.float32).astype(i32))
             v16s.append(lo | (hi << 8))
         v16 = jnp.concatenate(v16s, axis=0)
@@ -203,7 +208,7 @@ def _fused_kernel(
         vr = jnp.where(is_lic, nib - air0 + 1, 0)
         d_pri = jnp.where(cls == 0, v16 & 31, 0)
         d_sh = jnp.where(cls <= 1, (v16 >> 5) & 31, 0)
-        return m, vr, d_pri, d_sh
+        return m, vr, d_pri, d_sh, cls == 1
 
     def axis_count(t_m, t, a, n, is_exit):
         c = jnp.where(t_m >= t, jnp.floor((t_m - t) / a).astype(i32) + 1, 0)
@@ -361,7 +366,7 @@ def _fused_kernel(
 
         in_pri = ph == 0
         in_sh = ph == 1
-        m, vr, d_pri, d_sh = resolve(cx, cy, cz, ph < 2)
+        m, vr, d_pri, d_sh, uni = resolve(cx, cy, cz, ph < 2)
 
         # ---- classification (primary: frag:317-328; shadow: frag:383-389)
         hit_p = in_pri & _word_bit(w_hit, m)
@@ -379,11 +384,20 @@ def _fused_kernel(
         st8 = to_shadow(hit_p, st8)
 
         # ---- material events (reflect/refract) on still-marching lanes
+        wjump = jnp.zeros((R, _LANES), jnp.bool_)
+        m_liq = _word_bit(w_liq, m)
         if enable_materials:
             is_refl_e = evt & _word_bit(w_refl, m)
             is_refr_e = evt & ~_word_bit(w_refl, m)
-            m_liq = _word_bit(w_liq, m)
             st8 = material_plane(st8, is_refl_e, is_refr_e, m_liq)
+            # uniform refractive VOLUME (a water/glass-filled brick): instead
+            # of one voxel step per iteration through it, advance through the
+            # whole brick box in one AABB advance and apply the per-voxel tint
+            # of the skipped cells afterwards (left-fold, bit-exact vs the
+            # sequential path). Guarded so the budget cannot expire mid-jump
+            # (<= 24 crossings traverse an 8^3 brick).
+            st_now = st8[28]
+            wjump = is_refr_e & uni & ((budget - st_now) > 24)
 
         (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
          ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
@@ -419,6 +433,7 @@ def _fused_kernel(
 
         # ---- box bounds: brick license (phase-dep), voxel license, or slab
         D = jnp.where(in_sh2, d_sh, d_pri)
+        D = jnp.where(wjump & ~in_sh2, 1, D)  # water jump: own-brick box
         use_b = D >= 1
         bx, by, bz = (cx & 1023) >> 3, (cy & 1023) >> 3, (cz & 1023) >> 3
         rb = D - 1
@@ -458,6 +473,21 @@ def _fused_kernel(
         st = st + jnp.where(march & ~in_sh2, cc, 0)
         st_sh = st_sh + jnp.where(march & in_sh2, cc, 0)
 
+        # water-jump tint of the skipped in-brick cells: the sequential path
+        # multiplies the refractive tint once per cell entered inside the
+        # brick (cc - 1 of them); replay as the same left-fold of multiplies
+        if enable_materials:
+            wj = wjump & march & ~in_sh2
+            k = jnp.where(wj, cc - 1, 0)
+            t_r = jnp.where(m_liq, jnp.float32(0.94), jnp.float32(0.95))
+            t_g = jnp.where(m_liq, jnp.float32(0.97), jnp.float32(0.95))
+            t_b = jnp.where(m_liq, jnp.float32(1.0), jnp.float32(0.95))
+            for j in range(24):
+                mm = j < k
+                cr = jnp.where(mm, cr * t_r, cr)
+                cg = jnp.where(mm, cg * t_g, cg)
+                cb = jnp.where(mm, cb * t_b, cb)
+
         # ---- budget freezes; frozen primary lanes still shadow (fast parity)
         froze_p = march & ~in_sh2 & (st >= budget)
         froze_s = march & in_sh2 & (st_sh >= sh_budget)
@@ -480,7 +510,7 @@ def _fused_kernel(
     # ---- initial state + start-cell specials (low_res.frag:299-307)
     cx, cy, cz = cx0[:], cy0[:], cz0[:]
     valid = val0[:] != 0
-    m0, _, _, _ = resolve(cx, cy, cz, valid)
+    m0, _, _, _, _ = resolve(cx, cy, cz, valid)
     refr0 = _word_bit(w_refr, m0) & (m0 != 0)
     raw0 = (m0 != 0) & ~refr0
     ph_i = jnp.where(raw0 | ~valid, 2, 0).astype(i32)
@@ -505,7 +535,13 @@ def _fused_kernel(
         jnp.zeros((), i32),  # nit (true iteration count, diagnostics)
         jnp.zeros((), i32),  # it (settle-jumps to _ITER_CAP)
     )
-    out = jax.lax.while_loop(cond, step_once, init)
+    def body2(carry):
+        # two march steps per while trip: the loop cond's cross-lane any() is
+        # a scalar sync — amortize it (settled lanes make the extra step a
+        # fully-masked no-op; kernel A measured this worth ~1.2x)
+        return step_once(step_once(carry))
+
+    out = jax.lax.while_loop(cond, body2, init)
     (cx, cy, cz, tx, ty, tz, dx, dy, dz, sx, sy, sz, adx, ady, adz,
      ox, oy, oz, lt, la, cr, cg, cb, ior, mat, refl, hitf, ph,
      st, st_sh, hcx, hcy, hcz, hla, hlt, mat_sh) = out[:-2]

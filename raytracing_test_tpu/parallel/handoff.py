@@ -191,7 +191,8 @@ def _handoff_march(
     return jax.tree_util.tree_map(merge, state), stats
 
 
-def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mesh):
+def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mesh,
+                        return_stats: bool = False):
     """Full-feature fast-path render over a spatially-sharded world with ray
     segment handoff. ``scene`` must be placed by shard_scene_spatial; rays are
     sharded over the data axis (dp × sp compose). Hemisphere AO runs through
@@ -215,7 +216,7 @@ def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mes
         shard_map,
         mesh=mesh,
         in_specs=(scene_specs, P(), P(DATA_AXIS, None), P()),
-        out_specs=P(DATA_AXIS, None),
+        out_specs=(P(DATA_AXIS, None), P(), P()),
         check_vma=False,
     )
     def _render(scene_slab, origin, dirs, time_s):
@@ -252,12 +253,17 @@ def render_rays_handoff(scene: Scene, origin, dirs, cfg: RenderConfig, mesh: Mes
         )
         return col, stats["rounds"], stats["lanes_shipped"]
 
-    return _render(
+    col, rounds, shipped = _render(
         scene,
         jnp.asarray(origin, f32),
         jnp.asarray(dirs, f32),
         jnp.asarray(cfg.time, f32),
     )
+    if return_stats:
+        # 112 B of _March state cross the wire per shipped lane (28 fields x 4 B)
+        return col, {"rounds": rounds, "lanes_shipped": shipped,
+                     "bytes_shipped": shipped.astype(jnp.int64) * 112}
+    return col
 
 
 def _shadow_handoff(scene_slab, shape3, slab_w, n_space, p, cell, last_axis, cfg, sun, active):
