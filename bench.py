@@ -156,12 +156,13 @@ def main():
     # ---- fwd+bwd candidates: window accumulators over the best seed
     rays_fb, accum_used = 0.0, "none"
     if seed_fn is not None:
-        for accum in ("dedup", "splat", "scatter"):
-            def loss(ds, t, _a=accum):
+        for accum, emode in (("dedup", "vec"), ("dedup", "scan"),
+                             ("splat", "vec"), ("scatter", "vec")):
+            def loss(ds, t, _a=accum, _e=emode):
                 seed = jax.lax.stop_gradient(seed_fn(t))
                 rgb = diff.render_rays_diff_window(
                     ds, cam.pos, dirs * (1.0 + 1e-6 * t), num_steps=NUM_STEPS,
-                    sky=False, start_t=seed, accum=_a)
+                    sky=False, start_t=seed, accum=_a, enumerate_mode=_e)
                 return jnp.mean(rgb)
 
             def fb(t, _l=loss):
@@ -171,11 +172,11 @@ def main():
             try:
                 dt = measure(fb)
                 r = H * W / dt
-                notes.append(f"fwd+bwd[{accum}]: {r:.3e}")
+                notes.append(f"fwd+bwd[{accum}/{emode}]: {r:.3e}")
                 if r > rays_fb:
-                    rays_fb, accum_used = r, accum
+                    rays_fb, accum_used = r, f"{accum}/{emode}"
             except Exception as e:
-                print(f"# fwd+bwd accum={accum} failed: {type(e).__name__} {e}",
+                print(f"# fwd+bwd {accum}/{emode} failed: {type(e).__name__} {e}",
                       file=sys.stderr)
 
     # ---- fwd-only full-feature candidates

@@ -216,6 +216,103 @@ def _enumerate_window(shape3, origin_b, d, step, abs_delta, cell, tmax, num_step
     return lin.T, inside.T, dt.T, ax_in.T  # -> [N, S]
 
 
+def _enumerate_window_vec(shape3, origin_b, d, step, abs_delta, cell, tmax, num_steps):
+    """Scan-free twin of _enumerate_window: the DDA's crossing sequence is the
+    merge of three arithmetic progressions t0_ax + n*abs_ax, so every step's
+    (cell, dt, entry axis) has a CLOSED FORM — rank-select the merged order in
+    parallel over [N, S] instead of carrying a 24-step sequential scan (each
+    full-width XLA loop iteration costs ~4 ms/M lanes on this chip).
+
+    Order replication: ranks use exact comparisons of the closed-form values
+    (division candidates corrected by direct compare) with the reference
+    tie-priority z > y > x (renderer._argmin_axis). The closed-form value
+    t0 + n*a differs from the scan's accumulated t by ulps, so isolated
+    near-tie rays may enumerate a different (still valid) crossing order —
+    fwd/bwd stay self-consistent because both use the same enumeration.
+    """
+    f32 = d.dtype
+    i32 = jnp.int32
+    N = cell.shape[0]
+    S = num_steps
+    Sx, Sy, Sz = shape3
+    istep = step.astype(i32)
+    ax0 = _argmin_axis(tmax - abs_delta)
+
+    ns = jnp.arange(S, dtype=f32)[None, None, :]  # [1, 1, S]
+    t0 = tmax.T[:, :, None]  # [3, N, 1]
+    a = abs_delta.T[:, :, None]
+    vals = t0 + ns * a  # [3, N, S] closed-form crossing values
+
+    def count_before(tA, A, B):
+        """#{m >= 0 : t0_B + m*a_B  strictly-before  key (tA, axis A)}.
+        tA: [N, S]."""
+        t0b = tmax[:, B][:, None]
+        ab = abs_delta[:, B][:, None]
+        q = jnp.floor((tA - t0b) / ab).astype(i32)
+        q = jnp.clip(q, -1, S + 1)
+        # correct the division rounding by direct comparison (exact)
+        qf = q.astype(f32)
+        q = jnp.where(t0b + qf * ab >= tA, q - 1, q)
+        qf = q.astype(f32)
+        q = jnp.where(t0b + qf * ab >= tA, q - 1, q)
+        qf = q.astype(f32)
+        q = jnp.where(t0b + (qf + 1.0) * ab < tA, q + 1, q)
+        cnt = jnp.clip(q + 1, 0, S)
+        if B > A:  # equal keys: higher axis steps first (ref tie-break)
+            tie = t0b + (cnt.astype(f32)) * ab == tA
+            cnt = jnp.where(tie & (cnt < S), cnt + 1, cnt)
+        return cnt
+
+    ranks = []
+    for A in range(3):
+        r = jnp.arange(S, dtype=i32)[None, :] + jnp.zeros((N, 1), i32)
+        for B in range(3):
+            if B != A:
+                r = r + count_before(vals[A], A, B)
+        ranks.append(r)  # [N, S]
+
+    ss = jnp.arange(S, dtype=i32)[None, None, :]  # [1, 1, S_out]
+    nA = [
+        (ranks[A][:, :, None] < ss).sum(axis=1).astype(i32)  # [N, S_out]
+        for A in range(3)
+    ]
+    # cell after s crossings
+    cellx = cell[:, 0][:, None] + nA[0] * istep[:, 0][:, None]
+    celly = cell[:, 1][:, None] + nA[1] * istep[:, 1][:, None]
+    cellz = cell[:, 2][:, None] + nA[2] * istep[:, 2][:, None]
+    wx, wy, wz = cellx & 1023, celly & 1023, cellz & 1023
+    inside = (wx < Sx) & (wy < Sy) & (wz < Sz)
+    lin = jnp.where(inside, (wx * Sy + wy) * Sz + wz, 0)
+
+    # value & axis of the s-th crossing (s >= 1): the latest taken per axis
+    NEG = jnp.float32(-3e38)
+
+    def last_t(A):
+        n = nA[A]
+        return jnp.where(
+            n > 0, tmax[:, A][:, None] + (n - 1).astype(f32) * abs_delta[:, A][:, None],
+            NEG,
+        )
+
+    lx, ly, lz = last_t(0), last_t(1), last_t(2)
+    t_s = jnp.maximum(lx, jnp.maximum(ly, lz))  # [N, S_out], s=0 -> NEG
+    # tie priority z > y > x: pick the highest axis achieving the max
+    ax_s = jnp.where(lz == t_s, 2, jnp.where(ly == t_s, 1, 0)).astype(i32)
+    ax_in = jnp.where(ss[0] == 0, ax0[:, None], ax_s)
+
+    # t(s+1): value of the next crossing = min of each axis's next value
+    nxt = jnp.minimum(
+        jnp.minimum(
+            tmax[:, 0][:, None] + nA[0].astype(f32) * abs_delta[:, 0][:, None],
+            tmax[:, 1][:, None] + nA[1].astype(f32) * abs_delta[:, 1][:, None],
+        ),
+        tmax[:, 2][:, None] + nA[2].astype(f32) * abs_delta[:, 2][:, None],
+    )
+    t_prev = jnp.where(ss[0] == 0, 0.0, t_s)
+    dt = jnp.maximum(nxt - t_prev, 0.0)
+    return lin, inside, dt, ax_in
+
+
 def render_rays_diff_window(
     scene: DiffScene,
     origin,
@@ -227,6 +324,7 @@ def render_rays_diff_window(
     accum: str = "dedup",
     shading: bool = False,
     shadow_steps: int = 0,
+    enumerate_mode: str = "scan",
 ):
     """Window-formulated volumetric render: mathematically identical to
     render_rays_diff (exp-of-cumsum transmittance == product of per-segment
@@ -270,7 +368,8 @@ def render_rays_diff_window(
     cell = jnp.floor(origin_b).astype(jnp.int32)
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
 
-    lin, inside, dt, ax_in = _enumerate_window(
+    enum_fn = _enumerate_window_vec if enumerate_mode == "vec" else _enumerate_window
+    lin, inside, dt, ax_in = enum_fn(
         (Sx, Sy, Sz), origin_b, d, step, abs_delta, cell, tmax, num_steps
     )
 

@@ -166,17 +166,19 @@ def main():
             seed_j = np.asarray(seed_j)
             seed_j = jnp.asarray(seed_j)
 
-            for accum in ("scatter", "dedup", "splat"):
-                def loss(ds, t, _a=accum):
+            for accum, emode in (("scatter", "scan"), ("dedup", "scan"),
+                                 ("dedup", "vec"), ("splat", "scan"),
+                                 ("splat", "vec")):
+                def loss(ds, t, _a=accum, _e=emode):
                     rgb = diff.render_rays_diff_window(
                         ds, cam.pos, dirs * (1 + 1e-6 * t), num_steps=NUM_STEPS,
-                        sky=False, start_t=seed_j, accum=_a)
+                        sky=False, start_t=seed_j, accum=_a, enumerate_mode=_e)
                     return jnp.mean(rgb)
 
                 fb = jax.jit(lambda t, _l=loss: jax.tree_util.tree_reduce(
                     lambda a, x: a + x.sum(), jax.grad(_l)(dscene, t), 0.0))
-                dt = bench(f"s3 window fwd+bwd [{accum}] 1024^2x24", fb)
-                log(f"s3 -> {H*W/dt:.3e} rays/s fwd+bwd[{accum}] (window only)")
+                dt = bench(f"s3 window fwd+bwd [{accum}/{emode}] 1024^2x24", fb)
+                log(f"s3 -> {H*W/dt:.3e} rays/s fwd+bwd[{accum}/{emode}] (window only)")
         except SystemExit:
             raise
         except Exception as e:
@@ -265,6 +267,15 @@ def main():
 
             dt_ = bench("s5 full window fwd 1024^2x24", jax.jit(full_fwd))
             log(f"s5 -> full window fwd {dt_*1e3:.1f} ms")
+
+            def full_fwd_vec(t):
+                return diff.render_rays_diff_window(
+                    dscene, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
+                    sky=False, start_t=seed_j, accum="scatter",
+                    enumerate_mode="vec").sum()
+
+            dt_ = bench("s5 full window fwd VEC 1024^2x24", jax.jit(full_fwd_vec))
+            log(f"s5 -> full window fwd (scan-free enumerate) {dt_*1e3:.1f} ms")
         except SystemExit:
             raise
         except Exception as e:
