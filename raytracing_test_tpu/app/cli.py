@@ -174,8 +174,8 @@ def main(argv=None) -> None:
         "--mode",
         default="fast",
         choices=[
-            "fast", "bricks", "bricks-pallas", "reference", "progressive",
-            "pallas", "spatial", "handoff",
+            "fast", "fused", "bricks", "bricks-pallas", "reference",
+            "progressive", "pallas", "spatial", "handoff",
         ],
         help="render path (see app/session.py render)",
     )

@@ -47,6 +47,8 @@ class WorldSession:
         self.palette = Palette()
         self.hotbar = _hotbar()
         self.selected = 0
+        self._fused_tables = None  # built lazily for mode="fused"
+        self._fused_dirty = True  # edits invalidate the fused-kernel tables
         self._native = None
         if use_native:
             try:
@@ -192,6 +194,7 @@ class WorldSession:
                         )
         self._clear_dirty()
         self.scene = self._mirror.apply_bricks(in_window, old_counts)
+        self._fused_dirty = True  # fused-kernel tables rebuild on next use
         return len(bricks)
 
     # --------------------------------------------------------------- render
@@ -206,9 +209,11 @@ class WorldSession:
         """One frame, mirroring the reference render() flow: sync dirty state,
         pick for the looked-at highlight, then draw (main.cpp:68-108).
 
-        ``mode`` selects the render path: fast (default), reference,
-        progressive (coarse-to-fine, the reference's C11 scheme), pallas
-        (fused-march kernel; materials off), spatial / handoff (the world
+        ``mode`` selects the render path: fast (default), fused (the
+        single-invocation Pallas march kernel — the performance engine),
+        reference, progressive (coarse-to-fine, the reference's C11 scheme),
+        bricks / bricks-pallas (the round-2 split kernels), pallas (the
+        interpret-era kernel; materials off), spatial / handoff (the world
         sharded over all devices' space axis).
         """
         self.sync()
@@ -221,6 +226,19 @@ class WorldSession:
         cam = self.camera()
         if mode == "fast":
             return np.asarray(fast.render_fast_jit(self.scene, cam, rcfg))
+        if mode == "fused":
+            import jax
+
+            from ..kernels import fused_march as _fm
+
+            if self._fused_tables is None or self._fused_dirty:
+                self._fused_tables = _fm.tables_for_scene(self.scene)
+                self._fused_dirty = False
+            img = jax.jit(
+                lambda sc, c, t: _fm.render_image_fused(
+                    sc, self._fused_tables, c, rcfg, time_s=t)
+            )(self.scene, cam, np.float32(rcfg.time))
+            return np.asarray(img)
         if mode == "bricks":
             from ..render import bricks as _bricks
 

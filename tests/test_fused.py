@@ -146,3 +146,14 @@ def test_fused_tables_reject_unsupported():
     g[0, 0, 0] = 15  # material id over the 4-bit budget
     with pytest.raises(ValueError):
         build_fused_tables(g, np.zeros(16, np.int32))
+
+
+def test_session_fused_mode_matches_fast():
+    from raytracing_test_tpu.app.session import WorldSession
+
+    s = WorldSession(WorldConfig(width=24, length=24, grid_shape=(32, 32, 32)),
+                     use_native=False)
+    rcfg = RenderConfig(width=16, height=16, max_steps=80, shadow_steps=20)
+    img_fast = s.render(rcfg, highlight=False, mode="fast")
+    img_fused = s.render(rcfg, highlight=False, mode="fused")
+    assert_images_close(img_fused, img_fast)
