@@ -156,8 +156,8 @@ def main():
     # ---- fwd+bwd candidates: window accumulators over the best seed
     rays_fb, accum_used = 0.0, "none"
     if seed_fn is not None:
-        for accum, emode in (("dedup", "vec"), ("dedup", "scan"),
-                             ("splat", "vec"), ("scatter", "vec")):
+        for accum, emode in (("splat-pallas", "vec"), ("dedup", "vec"),
+                             ("dedup", "scan"), ("scatter", "vec")):
             def loss(ds, t, _a=accum, _e=emode):
                 seed = jax.lax.stop_gradient(seed_fn(t))
                 rgb = diff.render_rays_diff_window(

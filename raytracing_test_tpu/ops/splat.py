@@ -99,11 +99,14 @@ def _splat_chunk(shape3, x, y, z, g, grid):
     return grid, ~inlier
 
 
-def splat_add(zeros, lin, upd, shape3, S: int):
+def splat_add(zeros, lin, upd, shape3, S: int, engine: str = "xla"):
     """zeros[V, 4].at[lin].add(upd) for window-structured rows.
 
     lin/upd: [M] / [M, 4] with M = N*S, ray-major (each ray's S steps
-    contiguous). Returns the accumulated [V, 4] table (V = Sx*Sy*Sz)."""
+    contiguous). Returns the accumulated [V, 4] table (V = Sx*Sy*Sz).
+    ``engine``: "xla" contracts boxes with batched XLA matmuls (materializes
+    the Khatri-Rao factor in HBM — measured 6.0 s per 1M x 24 window);
+    "pallas" runs the same contraction in VMEM (kernels/splat_kernel.py)."""
     Sx, Sy, Sz = shape3
     M = lin.shape[0]
     N = M // S
@@ -134,10 +137,12 @@ def splat_add(zeros, lin, upd, shape3, S: int):
 
     grid = zeros.reshape(Sx, Sy, Sz, 4)
 
+    chunk_fn = _splat_chunk if engine == "xla" else _splat_chunk_pallas
+
     def chunk_body(carry, idx):
         grid, out_cnt = carry
         sl = lambda v: jax.lax.dynamic_slice_in_dim(v, idx * chunk, chunk, axis=0)
-        g2, outlier = _splat_chunk(shape3, sl(xt), sl(yt), sl(zt), sl(gt), grid)
+        g2, outlier = chunk_fn(shape3, sl(xt), sl(yt), sl(zt), sl(gt), grid)
         return (g2, out_cnt + outlier.sum()), outlier
 
     (grid, n_out), outliers = jax.lax.scan(
@@ -169,8 +174,48 @@ def splat_add(zeros, lin, upd, shape3, S: int):
     return jax.lax.cond(n_out <= K, sparse, dense, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def take_rows_splat(table, lin, shape3, S: int):
+def _splat_chunk_pallas(shape3, x, y, z, g, grid):
+    """_splat_chunk with the box contraction on the Pallas kernel (the
+    inlier-mask / offset / merge logic is identical)."""
+    from ..kernels.splat_kernel import splat_boxes_pallas
+
+    Sx, Sy, Sz = shape3
+    ox = jnp.clip(jnp.min(x, axis=1), 0, max(Sx - BOX, 0))
+    oy = jnp.clip(jnp.min(y, axis=1), 0, max(Sy - BOX, 0))
+    oz = jnp.clip(jnp.min(z, axis=1), 0, max(Sz - BOX, 0))
+    lx = x - ox[:, None]
+    ly = y - oy[:, None]
+    lz = z - oz[:, None]
+    inlier = (
+        (lx >= 0) & (lx < BOX) & (ly >= 0) & (ly < BOX) & (lz >= 0) & (lz < BOX)
+    )
+    gi = jnp.where(inlier[:, :, None], g, 0.0)
+    zi = jnp.where(inlier, lx, 0), jnp.where(inlier, ly, 0), jnp.where(inlier, lz, 0)
+    boxes = splat_boxes_pallas(zi[0], zi[1], zi[2], gi,
+                               interpret=not _pallas_ok())
+
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3, 4),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    offs = jnp.stack([ox, oy, oz], axis=1)
+    grid = jax.lax.scatter_add(
+        grid, offs, boxes, dnums,
+        indices_are_sorted=False, unique_indices=False,
+    )
+    return grid, ~inlier
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_ok() -> bool:
+    from ..kernels.pallas_march import pallas_supported
+
+    return pallas_supported()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def take_rows_splat(table, lin, shape3, S: int, engine: str = "xla"):
     """jnp.take(table, lin, axis=0) whose VJP is the MXU box splat.
 
     table: f32[V, 4] (V = prod(shape3)); lin: i32[M] IN-BOUNDS row-major cell
@@ -178,13 +223,13 @@ def take_rows_splat(table, lin, shape3, S: int):
     return jnp.take(table, lin, axis=0)
 
 
-def _trs_fwd(table, lin, shape3, S):
+def _trs_fwd(table, lin, shape3, S, engine):
     return jnp.take(table, lin, axis=0), lin
 
 
-def _trs_bwd(shape3, S, lin, g):
+def _trs_bwd(shape3, S, engine, lin, g):
     zeros = jnp.zeros((shape3[0] * shape3[1] * shape3[2], 4), g.dtype)
-    return splat_add(zeros, lin, g, shape3, S), None
+    return splat_add(zeros, lin, g, shape3, S, engine=engine), None
 
 
 take_rows_splat.defvjp(_trs_fwd, _trs_bwd)

@@ -378,10 +378,13 @@ def render_rays_diff_window(
         from ..ops.scatter import take_rows
 
         rows = take_rows(packed, lin.reshape(-1))
-    elif accum == "splat":
+    elif accum in ("splat", "splat-pallas"):
         from ..ops.splat import take_rows_splat
 
-        rows = take_rows_splat(packed, lin.reshape(-1), (Sx, Sy, Sz), num_steps)
+        rows = take_rows_splat(
+            packed, lin.reshape(-1), (Sx, Sy, Sz), num_steps,
+            "pallas" if accum == "splat-pallas" else "xla",
+        )
     else:
         rows = jnp.take(packed, lin.reshape(-1), axis=0)
     rows = rows.reshape(N, num_steps, 4)

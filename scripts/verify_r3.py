@@ -168,7 +168,7 @@ def main():
 
             for accum, emode in (("scatter", "scan"), ("dedup", "scan"),
                                  ("dedup", "vec"), ("splat", "scan"),
-                                 ("splat", "vec")):
+                                 ("splat-pallas", "vec")):
                 def loss(ds, t, _a=accum, _e=emode):
                     rgb = diff.render_rays_diff_window(
                         ds, cam.pos, dirs * (1 + 1e-6 * t), num_steps=NUM_STEPS,
