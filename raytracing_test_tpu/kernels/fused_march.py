@@ -691,10 +691,13 @@ def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, inter
     }
 
 
-def _block_perm(H, W, b=64):
-    """Row-major pixel order -> b x b blocks (and its inverse), as index maps."""
+def _block_perm(H, W):
+    """Row-major pixel order -> (bh x bw) pixel blocks of exactly one kernel
+    tile each (and the inverse), as index maps."""
+    bw = 64
+    bh = (_TILE_ROWS * _LANES) // bw
     idx = np.arange(H * W).reshape(H, W)
-    blocks = idx.reshape(H // b, b, W // b, b).transpose(0, 2, 1, 3).reshape(-1)
+    blocks = idx.reshape(H // bh, bh, W // bw, bw).transpose(0, 2, 1, 3).reshape(-1)
     inv = np.empty_like(blocks)
     inv[blocks] = np.arange(H * W)
     return blocks, inv
@@ -734,7 +737,8 @@ def render_rays_fused(
     perm = inv = None
     if image_hw is not None:
         H, W = image_hw
-        if H % 64 == 0 and W % 64 == 0 and H * W == N:
+        bh, bw = (_TILE_ROWS * _LANES) // 64, 64
+        if H % bh == 0 and W % bw == 0 and H * W == N:
             pb, inv_ = _block_perm(H, W)
             perm = jnp.asarray(pb)
             inv = jnp.asarray(inv_)

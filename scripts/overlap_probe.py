@@ -34,7 +34,7 @@ def main():
         sys.exit(2)
 
     signal.signal(signal.SIGALRM, fire)
-    signal.alarm(560)
+    signal.alarm(850)
 
     import jax
     import jax.numpy as jnp

@@ -90,7 +90,10 @@ def main():
     if 1 in stages:
         alarm(560)
         try:
-            R = 128
+            # 512^2: both engines' executables are shape-cached from the perf
+            # stages (the fast path's compaction recursion deepens at SMALL N
+            # and its 128^2 compile crashes the remote compile helper)
+            R = 512
             rcfg = RenderConfig(width=R, height=R)
             cases = [
                 ((100.0, 60.0, 40.0), (0.55, -0.4, 0.55), 0.0),  # terrain
