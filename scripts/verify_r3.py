@@ -101,16 +101,21 @@ def main():
                 ((8.0, 36.0, 8.0), (0.9, -0.35, 0.6), 0.5),  # smoke blocks
                 ((128.0, 24.0, 128.0), (0.3, 0.45, 0.8), 0.0),  # low, looking up
             ]
+            # pos/dirs/t as ARGUMENTS: one executable per engine for all
+            # cases (closure constants would recompile per camera and trip
+            # the flaky remote compile helper)
+            f_fast = jax.jit(lambda p, dirs, t: fast.render_rays_fast(
+                scene, p, dirs, rcfg, time_s=t)[0])
+            f_fused = jax.jit(lambda p, dirs, t: fm.render_rays_fused(
+                scene, ft, p, dirs, rcfg, time_s=t, interpret=False)[0])
             worst = 0.0
             for pos, dirn, ts_ in cases:
                 c = Camera(pos=jnp.asarray(pos, jnp.float32),
                            dir=jnp.asarray(dirn, jnp.float32))
                 dirs = ray_directions(c, R, R)
                 t = jnp.float32(ts_)
-                cf = np.asarray(jax.jit(lambda t: fast.render_rays_fast(
-                    scene, c.pos, dirs, rcfg, time_s=t)[0])(t))
-                cu = np.asarray(jax.jit(lambda t: fm.render_rays_fused(
-                    scene, ft, c.pos, dirs, rcfg, time_s=t, interpret=False)[0])(t))
+                cf = np.asarray(f_fast(c.pos, dirs, t))
+                cu = np.asarray(f_fused(c.pos, dirs, t))
                 bad = float((np.abs(cf - cu).max(axis=1) > 1e-5).mean())
                 worst = max(worst, bad)
                 log(f"s1 parity {pos}: bad-pixel frac {bad:.5f}")
