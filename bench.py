@@ -44,10 +44,12 @@ def _arm(seconds):
 
 
 def _prev_best():
+    import glob
+
     best = 0.0
-    for name in ("BENCH_r01.json", "BENCH_r02.json"):
+    for name in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         try:
-            with open(os.path.join(ROOT, name)) as f:
+            with open(name) as f:
                 best = max(best, float(json.load(f).get("value", 0.0)))
         except Exception:
             pass

@@ -49,6 +49,7 @@ class WorldSession:
         self.selected = 0
         self._fused_tables = None  # built lazily for mode="fused"
         self._fused_dirty = True  # edits invalidate the fused-kernel tables
+        self._fused_warned = False  # one-time fused->fast fallback warning
         self._native = None
         if use_native:
             try:
@@ -212,9 +213,15 @@ class WorldSession:
         ``mode`` selects the render path: fast (default), fused (the
         single-invocation Pallas march kernel — the performance engine),
         reference, progressive (coarse-to-fine, the reference's C11 scheme),
-        bricks / bricks-pallas (the round-2 split kernels), pallas (the
-        interpret-era kernel; materials off), spatial / handoff (the world
-        sharded over all devices' space axis).
+        bricks / bricks-pallas (the round-2 split kernels), spatial / handoff
+        (the world sharded over all devices' space axis).
+
+        mode="fused" falls back to fast (with a one-time warning) when the
+        scene violates the fused-table constraints (core/fused_tables.py:
+        dims % 8, material ids <= 13) — e.g. after edits intern a 14th
+        palette entry. AO note: ``enable_ao`` is served by the XLA shading
+        stage for every mode (the fused kernel's outputs feed the shared
+        renderer.shade, so AO works in fused mode too).
         """
         self.sync()
         if highlight:
@@ -232,8 +239,21 @@ class WorldSession:
             from ..kernels import fused_march as _fm
 
             if self._fused_tables is None or self._fused_dirty:
-                self._fused_tables = _fm.tables_for_scene(self.scene)
+                try:
+                    self._fused_tables = _fm.tables_for_scene(self.scene)
+                except ValueError as e:
+                    # the documented fused-table contract (core/fused_tables.py:
+                    # dims % 8, material ids <= 13) — honor the fallback instead
+                    # of surfacing a ValueError from a render call (e.g. after
+                    # an edit interns a 14th palette entry)
+                    if not self._fused_warned:
+                        debug(1, f"fused tables unavailable ({e}); "
+                                 "falling back to mode='fast'")
+                        self._fused_warned = True
+                    self._fused_tables = None
                 self._fused_dirty = False
+            if self._fused_tables is None:
+                return np.asarray(fast.render_fast_jit(self.scene, cam, rcfg))
             img = jax.jit(
                 lambda sc, c, t: _fm.render_image_fused(
                     sc, self._fused_tables, c, rcfg, time_s=t)
@@ -263,13 +283,6 @@ class WorldSession:
                 lambda sc, c: progressive.render_image_progressive(sc, c, rcfg)
             )(self.scene, cam)
             return np.asarray(img)
-        if mode == "pallas":
-            from ..kernels import pallas_march
-
-            rcfg = replace(rcfg, enable_materials=False, enable_ao=False)
-            return np.asarray(
-                pallas_march.render_image_pallas(self.scene, cam, rcfg)
-            )
         if mode in ("spatial", "handoff"):
             import jax
 

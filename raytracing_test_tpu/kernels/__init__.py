@@ -7,4 +7,4 @@ render/renderer.py (oracle-validated) and render/fast.py (the XLA production
 path); every kernel here is validated against them.
 """
 
-from . import pallas_march  # noqa: F401
+from . import support  # noqa: F401

@@ -379,9 +379,8 @@ def _unpack_state(s, outs, N):
     )
 
 
-@functools.lru_cache(maxsize=1)
 def pallas_supported() -> bool:
-    from .pallas_march import pallas_supported as _ps
+    from .support import pallas_supported as _ps
 
     return _ps()
 

@@ -600,9 +600,8 @@ def _luts(scene: Scene, cfg: RenderConfig):
     return word(hit_b), word(evt_b), word(refl_b), word(liq_b), word(refrf_b), word(shhit_b)
 
 
-@functools.lru_cache(maxsize=1)
 def pallas_supported() -> bool:
-    from .pallas_march import pallas_supported as _ps
+    from .support import pallas_supported as _ps
 
     return _ps()
 

@@ -207,9 +207,8 @@ def _splat_chunk_pallas(shape3, x, y, z, g, grid):
     return grid, ~inlier
 
 
-@functools.lru_cache(maxsize=1)
 def _pallas_ok() -> bool:
-    from ..kernels.pallas_march import pallas_supported
+    from ..kernels.support import pallas_supported
 
     return pallas_supported()
 

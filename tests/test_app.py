@@ -180,8 +180,7 @@ def test_frame_stats_and_phase_timer(tmp_path, capsys):
 
 def test_session_render_modes():
     """Every CLI-exposed render mode produces the same scene (fast is the
-    anchor; reference/progressive/spatial/handoff must agree; pallas runs
-    materials-off)."""
+    anchor; reference/progressive/spatial/handoff must agree)."""
     from raytracing_test_tpu.config import RenderConfig
     from raytracing_test_tpu.app.session import WorldSession
 
@@ -198,5 +197,30 @@ def test_session_render_modes():
         assert bad.mean() <= 0.01, (mode, bad.sum())
     prog = s.render(rcfg, mode="progressive")
     assert np.isfinite(prog).all()
-    pal = s.render(rcfg, mode="pallas")
-    assert np.isfinite(pal).all()
+
+
+def test_session_fused_fallback_on_palette_overflow():
+    """mode='fused' honors core/fused_tables.py's documented fallback: a
+    world whose edits intern material ids beyond the 4-bit fused budget
+    renders via the fast path (with a one-time warning) instead of raising
+    (VERDICT r03 weak #4)."""
+    from raytracing_test_tpu.config import RenderConfig
+    from raytracing_test_tpu.app.session import WorldSession
+    from raytracing_test_tpu.core.types import Block
+
+    s = WorldSession(
+        WorldConfig(width=48, length=48, grid_shape=(64, 64, 64)),
+        use_native=False,
+    )
+    s.yaw, s.pitch = 45.0, 25.0
+    rcfg = RenderConfig(width=16, height=16)
+    # intern enough distinct palette entries to push max material id > 13
+    for i in range(15):
+        s.tree.put_block((10 + i, 40, 10), Block(0, (i * 1371235) % (1 << 63)), 6)
+    s.sync()
+    assert int(np.asarray(s.scene.mat).max()) > 13
+    img = s.render(rcfg, mode="fused")  # must not raise
+    assert np.isfinite(img).all()
+    assert s._fused_warned
+    base = s.render(rcfg, mode="fast")
+    assert np.allclose(img, base)
