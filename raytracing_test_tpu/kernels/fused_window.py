@@ -10,26 +10,35 @@ quality; this module moves the whole window — enumeration, field fetch,
 compositing, AND the gradient accumulation — into one Pallas kernel pair:
 
   - rays are grouped into spatially coherent 8x32-pixel strips (256 rays);
-    each group's 24-step window almost always fits a 32^3-cell axis-aligned
-    box of the field (the windows hug one surface patch);
-  - the box is DMA'd HBM->VMEM once per group (512 KB); every sample fetch
-    is then an in-VMEM MXU one-hot matmul over the box's (x,y) rows — the
-    only fast arbitrary in-kernel lookup on this chip (CLAUDE.md). f32
-    exactness comes from a hi+lo bf16 split of the box (one-hot products are
-    exact; the f32 accumulation reconstructs to ~1 ulp — the established
-    contract from the splat lineage);
+    each group's 24-step window almost always fits a 32x32x64-cell
+    axis-aligned box of the field (guided windows hug one surface patch);
+  - per-group box ORIGINS are computed on the XLA side from a closed-form
+    per-axis crossing-count bound (O(N), not O(N*S)) and enter the kernel
+    as SMEM scalars — measured Mosaic rules (PROBE_r04): DMA slice offsets
+    must be scalars not derived from in-kernel sliced/masked reductions,
+    and the minormost DMA dimension must not carry a dynamic offset at all
+    (hence the field's 4D (Sx, Sy, Sz/32, 128) layout: the z offset is an
+    integer index of a non-minormost dim; two DMAs fill the box's z halves);
+  - the box is DMA'd HBM->VMEM once per group (1 MB); every sample fetch is
+    then an in-VMEM MXU one-hot matmul over the box's (x,y) rows — the only
+    fast arbitrary in-kernel lookup on this chip (CLAUDE.md). f32 exactness
+    comes from a hi+lo bf16 split of the box (one-hot products are exact;
+    the f32 accumulation reconstructs to ~1 ulp — the splat lineage's
+    established contract). Samples pick their z half by masked one-hots, so
+    the 64-deep box costs the same MXU work as a 32-deep one;
   - the BACKWARD re-marches the same window (re-march strategy, SURVEY §7
     layer 5 / low_res.frag:309-315 flipped) and accumulates per-sample
     gradients into a VMEM gradient box with the transposed one-hot matmul,
     then merges the box into the HBM gradient field with an in-kernel DMA
     read-modify-write. TPU grid steps execute sequentially on the core, so
     the read-modify-write needs no atomics and NEVER touches XLA's
-    element-serialized scatter (the wall that killed ops/splat.py's
-    box merge — VERIFY_r03 s3);
-  - rays whose window leaves their group's box (depth discontinuities)
-    "escape": the kernel zeroes their contributions and flags them, and the
-    XLA window path (dedup accumulator) re-renders exactly those rays — the
-    fused path is therefore bit-honest for every ray.
+    element-serialized scatter (the wall that killed ops/splat.py's box
+    merge — VERIFY_r03 s3);
+  - rays whose window leaves their group's box (depth discontinuities,
+    wrapped far-out sky seeds) "escape": the kernel zeroes their
+    contributions and flags them, and the XLA window path (dedup
+    accumulator) re-renders exactly those rays — the fused path is
+    therefore bit-honest for every ray.
 
 Gradient scope: the custom VJP differentiates w.r.t. the FIELD only (density
 + albedo). Camera-pose gradients (through dt) return zero from this engine —
@@ -54,8 +63,10 @@ _LANES = 128
 _SUBG = 2          # sublane rows per ray group (256 rays)
 _NG = 4            # groups per kernel invocation (1024 rays)
 _ROWS = _SUBG * _NG
-_B = 32            # field box edge (cells), origin aligned to 8
-_B4 = _B * 4       # box lane width: 32 z-cells x 4 channels
+_B = 32            # box x/y edge (cells), origin aligned to 8
+_BZ = 64           # box z edge: two 32-cell z blocks (origin aligned to 32)
+_ZB = 32           # z cells per field block (minormost dim = 32 z * 4 ch)
+_C4 = _ZB * 4      # 128: field block lane width
 _BIG = 1 << 20
 _CHUNK_S = 4       # window steps fetched per one-hot matmul chunk
 
@@ -65,15 +76,10 @@ def _enumerate_planes(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
     """Unrolled in-kernel twin of render/diff._enumerate_window's scan: per
     step record (wrapped cell, dt, inside) BEFORE advancing, with the
     reference tie-break (x iff strictly smallest, else y<z, else z —
-    renderer._argmin_axis). Returns per-step plane lists + per-lane running
-    mins of inside cells (for the group box origin)."""
+    renderer._argmin_axis)."""
     Sx, Sy, Sz = shape3
-    f32 = jnp.float32
     t_cur = jnp.zeros_like(tx)
     recs = []
-    mnx = jnp.full(cx.shape, _BIG, jnp.int32)
-    mny = jnp.full(cx.shape, _BIG, jnp.int32)
-    mnz = jnp.full(cx.shape, _BIG, jnp.int32)
     for _ in range(S):
         mx = (tx < ty) & (tx < tz)
         my = (~mx) & (ty < tz)
@@ -81,11 +87,10 @@ def _enumerate_planes(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
         t_n = jnp.where(mx, tx, jnp.where(my, ty, tz))
         dt = jnp.maximum(t_n - t_cur, 0.0)
         wx, wy, wz = cx & 1023, cy & 1023, cz & 1023
-        inside = (wx < Sx) & (wy < Sy) & (wz < Sz)
+        # masks travel as i32: sub-8-sublane slices/concats of i1 arrays
+        # fail to legalize in Mosaic (CLAUDE.md; PROBE_r04 bisect)
+        inside = ((wx < Sx) & (wy < Sy) & (wz < Sz)).astype(jnp.int32)
         recs.append((wx, wy, wz, dt, inside))
-        mnx = jnp.where(inside, jnp.minimum(mnx, wx), mnx)
-        mny = jnp.where(inside, jnp.minimum(mny, wy), mny)
-        mnz = jnp.where(inside, jnp.minimum(mnz, wz), mnz)
         cx = jnp.where(mx, cx + isx, cx)
         cy = jnp.where(my, cy + isy, cy)
         cz = jnp.where(mz, cz + isz, cz)
@@ -93,42 +98,14 @@ def _enumerate_planes(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
         ty = jnp.where(my, ty + ay, ty)
         tz = jnp.where(mz, tz + az, tz)
         t_cur = t_n
-    return recs, (mnx, mny, mnz)
+    return recs
 
 
-def _group_box_origin(mn_planes, g, shape3):
-    """Scalar box origin for group ``g``: min inside-cell over the group's
-    lanes, aligned down to 8, clamped so the box stays in the grid."""
-    Sx, Sy, Sz = shape3
-    sl = slice(g * _SUBG, (g + 1) * _SUBG)
-    mnx, mny, mnz = mn_planes
-    ox = jnp.min(mnx[sl])
-    oy = jnp.min(mny[sl])
-    oz = jnp.min(mnz[sl])
-    has_any = ox < _BIG
-    ox = jnp.clip(ox & ~7, 0, Sx - _B)
-    oy = jnp.clip(oy & ~7, 0, Sy - _B)
-    oz = jnp.clip(oz & ~7, 0, Sz - _B)
-    return ox, oy, oz, has_any
-
-
-def _chunk_rows(planes, g, c0):
-    """Stack _CHUNK_S per-step (SUBG,128) group slices into one (8,128) chunk
-    plane. Row order: [step c0 sub0, step c0 sub1, step c0+1 sub0, ...]."""
-    sl = slice(g * _SUBG, (g + 1) * _SUBG)
-    return jnp.concatenate([planes[c0 + i][sl] for i in range(_CHUNK_S)], axis=0)
-
-
-def _split_rows(chunk, s_list):
-    """Inverse of _chunk_rows: (8,128,...) -> list of (SUBG,128,...)."""
-    return [chunk[i * _SUBG : (i + 1) * _SUBG] for i in range(len(s_list))]
-
-
-def _fetch_chunk(box_hi, box_lo, lxy, lz, valid):
-    """One-hot fetch of (8,128) sample lanes from the VMEM box.
+def _fetch_chunk(boxA_hi, boxA_lo, boxB_hi, boxB_lo, lxy, lz, valid):
+    """One-hot fetch of (8,128) sample lanes from the VMEM box halves.
 
     lxy: i32 (8,128) = lx*B + ly in [0, B^2) (or <0 for no-match);
-    lz: i32 (8,128) z-cell in-box (or <0); valid bool (8,128).
+    lz: i32 (8,128) local z in [0, BZ) (or <0); valid i32 (8,128).
     Returns (sigma, alb_r, alb_g, alb_b) f32 (8,128), zero where invalid.
     """
     i32 = jnp.int32
@@ -136,58 +113,71 @@ def _fetch_chunk(box_hi, box_lo, lxy, lz, valid):
     oh = (lxy[:, :, None] == ar).astype(jnp.bfloat16).reshape(
         _ROWS * _LANES, _B * _B
     )
-    lines = (
-        jax.lax.dot_general(
-            oh, box_hi, (((1,), (0,)), ((), ())),
+
+    def mm(o, b):
+        return jax.lax.dot_general(
+            o, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + jax.lax.dot_general(
-            oh, box_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    ).reshape(_ROWS, _LANES, _B4)
-    arc = jax.lax.broadcasted_iota(i32, (_ROWS, _LANES, _B4), 2)
-    zsel = (arc >> 2) == lz[:, :, None]
+
+    linesA = (mm(oh, boxA_hi) + mm(oh, boxA_lo)).reshape(
+        _ROWS, _LANES, _C4)
+    linesB = (mm(oh, boxB_hi) + mm(oh, boxB_lo)).reshape(
+        _ROWS, _LANES, _C4)
+    arc = jax.lax.broadcasted_iota(i32, (_ROWS, _LANES, _C4), 2)
+    # Mosaic rule (PROBE_r04): never broadcast a 2D bool inside where —
+    # materialize the per-sample z at 3D with a broadcast add first
+    lz3 = lz[:, :, None] + 0 * arc
+    lines = jnp.where(lz3 >= _ZB, linesB, linesA)
+    # invalid samples carry col=-1 (matches nothing) instead of a bool mask
+    zcol = jnp.where(lz >= 0, lz & (_ZB - 1), -1)
+    zsel = (arc >> 2) == zcol[:, :, None]
     vals = []
     for c in range(4):
         m = zsel & ((arc & 3) == c)
         v = jnp.where(m, lines, 0.0).sum(axis=2)
-        vals.append(jnp.where(valid, v, 0.0))
+        vals.append(jnp.where(valid > 0, v, 0.0))
     return vals
 
 
 def _accum_chunk(gbox, lxy, lz, gvec):
-    """Transpose of _fetch_chunk: accumulate per-sample gradient rows into the
-    (B*B, B4) f32 gradient box. gvec: 4 x f32 (8,128) (already masked)."""
+    """Transpose of _fetch_chunk: accumulate per-sample gradient rows into
+    the (B*B, 2*C4) f32 gradient box. gvec: 4 x f32 (8,128) (masked)."""
     i32 = jnp.int32
     f32 = jnp.float32
-    arc = jax.lax.broadcasted_iota(i32, (_ROWS, _LANES, _B4), 2)
-    zsel = (arc >> 2) == lz[:, :, None]
-    V = jnp.zeros((_ROWS, _LANES, _B4), f32)
+    arc = jax.lax.broadcasted_iota(i32, (_ROWS, _LANES, _C4), 2)
+    zcol = jnp.where(lz >= 0, lz & (_ZB - 1), -1)
+    zsel = (arc >> 2) == zcol[:, :, None]
+    V = jnp.zeros((_ROWS, _LANES, _C4), f32)
     for c in range(4):
         m = zsel & ((arc & 3) == c)
         V = jnp.where(m, gvec[c][:, :, None], V)
-    V = V.reshape(_ROWS * _LANES, _B4)
-    V_hi = V.astype(jnp.bfloat16)
-    V_lo = (V - V_hi.astype(f32)).astype(jnp.bfloat16)
+    lz3 = lz[:, :, None] + 0 * arc  # no 2D-bool broadcast (PROBE_r04)
+    VA = jnp.where(lz3 >= _ZB, 0.0, V).reshape(_ROWS * _LANES, _C4)
+    VB = jnp.where(lz3 >= _ZB, V, 0.0).reshape(_ROWS * _LANES, _C4)
     ar = jax.lax.broadcasted_iota(i32, (_ROWS, _LANES, _B * _B), 2)
     oh = (lxy[:, :, None] == ar).astype(jnp.bfloat16).reshape(
         _ROWS * _LANES, _B * _B
     )
-    part = jax.lax.dot_general(
-        oh, V_hi, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        oh, V_lo, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return gbox + part
+
+    def mmT(v):
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(f32)).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh, v_hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            oh, v_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    gbA, gbB = gbox
+    return gbA + mmT(VA), gbB + mmT(VB)
 
 
 def _local_coords(recs_g, ox, oy, oz):
-    """Per-step local box coords + masks for one group. recs_g: list of
-    (wx, wy, wz, dt, inside) (SUBG,128) planes. Returns per-step
-    (lxy, lz, contrib) + the group's escaped plane (SUBG,128)."""
+    """Per-step local box coords + masks for one group (all masks i32).
+    Returns per-step (lxy, lz, contrib) + the group's escaped i32 plane."""
     escaped = None
     out = []
     for wx, wy, wz, dt, inside in recs_g:
@@ -196,75 +186,114 @@ def _local_coords(recs_g, ox, oy, oz):
         lz = wz - oz
         inbox = (
             (lx >= 0) & (lx < _B) & (ly >= 0) & (ly < _B)
-            & (lz >= 0) & (lz < _B)
-        )
-        esc_s = inside & ~inbox
+            & (lz >= 0) & (lz < _BZ)
+        ).astype(jnp.int32)
+        esc_s = inside * (1 - inbox)
         escaped = esc_s if escaped is None else (escaped | esc_s)
-        contrib = inside & inbox
-        lxy = jnp.where(contrib, lx * _B + ly, -1)
-        lzc = jnp.where(contrib, lz, -1)
+        contrib = inside * inbox
+        lxy = jnp.where(contrib > 0, lx * _B + ly, -1)
+        lzc = jnp.where(contrib > 0, lz, -1)
         out.append((lxy, lzc, contrib))
     return out, escaped
 
 
-def _box_dma(ref3, boxbuf, sem, ox, oy, oz):
-    return pltpu.make_async_copy(
-        ref3.at[pl.ds(ox, _B), pl.ds(oy, _B), pl.ds(oz * 4, _B4)],
-        boxbuf,
-        sem,
+def _box_read(ref4, boxA, boxB, sem, ox, oy, ozb):
+    """Two DMAs HBM->VMEM filling the box's z halves (minormost dim of the
+    4D field is fully copied — no dynamic offset there, PROBE_r04)."""
+    d1 = pltpu.make_async_copy(
+        ref4.at[pl.ds(ox, _B), pl.ds(oy, _B), ozb], boxA, sem
     )
+    d1.start()
+    d1.wait()
+    d2 = pltpu.make_async_copy(
+        ref4.at[pl.ds(ox, _B), pl.ds(oy, _B), ozb + 1], boxB, sem
+    )
+    d2.start()
+    d2.wait()
 
 
-def _fwd_kernel(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
-                field3,
+def _box_write(ref4, boxA, boxB, sem, ox, oy, ozb):
+    d1 = pltpu.make_async_copy(
+        boxA, ref4.at[pl.ds(ox, _B), pl.ds(oy, _B), ozb], sem
+    )
+    d1.start()
+    d1.wait()
+    d2 = pltpu.make_async_copy(
+        boxB, ref4.at[pl.ds(ox, _B), pl.ds(oy, _B), ozb + 1], sem
+    )
+    d2.start()
+    d2.wait()
+
+
+def _group_fetch(recs, g, org, field4, boxA, boxB, sem, S):
+    """Shared fwd/bwd per-group stage: box DMA + chunked one-hot fetch.
+    Returns (recs_g, loc, escaped, sig/alr/alg/alb per-step lists)."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    gi = i * _NG + g
+    # origins arrive bit-packed, ONE i32 per group: SMEM is ~16-32 KB and an
+    # unpacked (G*NG, 4) table broke the compile beyond G=256 (PROBE_r04)
+    v = org[gi]
+    ox = (v & 127) << 3
+    oy = ((v >> 7) & 127) << 3
+    ozb = (v >> 14) & 31
+    has_any = ((v >> 19) & 1) > 0
+    gsl = slice(g * _SUBG, (g + 1) * _SUBG)
+
+    @pl.when(has_any)
+    def _():
+        _box_read(field4, boxA, boxB, sem, ox, oy, ozb)
+
+    bA = boxA[:].reshape(_B * _B, _C4)
+    bB = boxB[:].reshape(_B * _B, _C4)
+    bA_hi = bA.astype(jnp.bfloat16)
+    bA_lo = (bA - bA_hi.astype(f32)).astype(jnp.bfloat16)
+    bB_hi = bB.astype(jnp.bfloat16)
+    bB_lo = (bB - bB_hi.astype(f32)).astype(jnp.bfloat16)
+
+    recs_g = [tuple(p[gsl] for p in r[:3]) + (r[3][gsl], r[4][gsl])
+              for r in recs]
+    loc, escaped = _local_coords(recs_g, ox, oy, ozb * _ZB)
+
+    sig, alr, alg, alb = [], [], [], []
+    for c0 in range(0, S, _CHUNK_S):
+        lxy = jnp.concatenate([loc[c0 + k][0] for k in range(_CHUNK_S)])
+        lz = jnp.concatenate([loc[c0 + k][1] for k in range(_CHUNK_S)])
+        vd = jnp.concatenate([loc[c0 + k][2] for k in range(_CHUNK_S)])
+
+        def fetch(_):
+            return tuple(
+                _fetch_chunk(bA_hi, bA_lo, bB_hi, bB_lo, lxy, lz, vd)
+            )
+
+        def zeros(_):
+            z = jnp.zeros((_ROWS, _LANES), f32)
+            return z, z, z, z
+
+        v0, v1, v2, v3 = jax.lax.cond(has_any, fetch, zeros, 0)
+        for vals, acc in ((v0, sig), (v1, alr), (v2, alg), (v3, alb)):
+            for k in range(_CHUNK_S):
+                acc.append(vals[k * _SUBG : (k + 1) * _SUBG])
+    return gi, gsl, (ox, oy, ozb, has_any), recs_g, loc, escaped, (
+        sig, alr, alg, alb)
+
+
+def _fwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
+                field4,
                 osr, osg, osb, otend, oesc,
-                boxbuf, sem,
+                boxA, boxB, sem,
                 *, shape3, S):
     f32 = jnp.float32
-    recs, mn = _enumerate_planes(
+    recs = _enumerate_planes(
         cx[:], cy[:], cz[:], tx[:], ty[:], tz[:],
         isx[:], isy[:], isz[:], ax[:], ay[:], az[:], S, shape3,
     )
-    n_chunks = S // _CHUNK_S
     for g in range(_NG):
-        gsl = slice(g * _SUBG, (g + 1) * _SUBG)
-        ox, oy, oz, has_any = _group_box_origin(mn, g, shape3)
+        (_, gsl, _, recs_g, loc, escaped,
+         (sig, alr, alg, alb)) = _group_fetch(
+            recs, g, org, field4, boxA, boxB, sem, S)
 
-        @pl.when(has_any)
-        def _():
-            dma = _box_dma(field3, boxbuf, sem, ox, oy, oz)
-            dma.start()
-            dma.wait()
-
-        box2 = boxbuf[:].reshape(_B * _B, _B4)
-        box_hi = box2.astype(jnp.bfloat16)
-        box_lo = (box2 - box_hi.astype(f32)).astype(jnp.bfloat16)
-
-        recs_g = [tuple(p[gsl] for p in r[:3]) + (r[3][gsl], r[4][gsl])
-                  for r in recs]
-        loc, escaped = _local_coords(recs_g, ox, oy, oz)
-
-        # fetch all S steps in _CHUNK_S-step one-hot chunks
-        sig, alr, alg, alb = [], [], [], []
-        for c0 in range(0, S, _CHUNK_S):
-            lxy = jnp.concatenate([loc[c0 + i][0] for i in range(_CHUNK_S)])
-            lz = jnp.concatenate([loc[c0 + i][1] for i in range(_CHUNK_S)])
-            vd = jnp.concatenate([loc[c0 + i][2] for i in range(_CHUNK_S)])
-
-            def fetch(_):
-                return tuple(_fetch_chunk(box_hi, box_lo, lxy, lz, vd))
-
-            def zeros(_):
-                z = jnp.zeros((_ROWS, _LANES), f32)
-                return z, z, z, z
-
-            v0, v1, v2, v3 = jax.lax.cond(has_any, fetch, zeros, 0)
-            sig += _split_rows(v0, range(_CHUNK_S))
-            alr += _split_rows(v1, range(_CHUNK_S))
-            alg += _split_rows(v2, range(_CHUNK_S))
-            alb += _split_rows(v3, range(_CHUNK_S))
-
-        # sequential compositing (identical recurrence to the XLA window's
+        # sequential compositing (same recurrence as the XLA window's
         # exp-of-cumsum formulation up to fp reassociation)
         trans = jnp.ones((_SUBG, _LANES), f32)
         acc = [jnp.zeros((_SUBG, _LANES), f32) for _ in range(3)]
@@ -280,58 +309,26 @@ def _fwd_kernel(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
         osg[gsl] = acc[1]
         osb[gsl] = acc[2]
         otend[gsl] = trans
-        oesc[gsl] = escaped.astype(jnp.int32)
+        oesc[gsl] = escaped
 
 
-def _bwd_kernel(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
+def _bwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
                 gr, gg, gb, gt,
-                field3, grad_in,
+                field4, grad_in,
                 grad_out,
-                boxbuf, gboxbuf, sem,
+                boxA, boxB, gboxA, gboxB, sem,
                 *, shape3, S):
     del grad_in  # aliased with grad_out; all access goes through grad_out
     f32 = jnp.float32
-    recs, mn = _enumerate_planes(
+    recs = _enumerate_planes(
         cx[:], cy[:], cz[:], tx[:], ty[:], tz[:],
         isx[:], isy[:], isz[:], ax[:], ay[:], az[:], S, shape3,
     )
     for g in range(_NG):
-        gsl = slice(g * _SUBG, (g + 1) * _SUBG)
-        ox, oy, oz, has_any = _group_box_origin(mn, g, shape3)
-
-        @pl.when(has_any)
-        def _():
-            dma = _box_dma(field3, boxbuf, sem, ox, oy, oz)
-            dma.start()
-            dma.wait()
-
-        box2 = boxbuf[:].reshape(_B * _B, _B4)
-        box_hi = box2.astype(jnp.bfloat16)
-        box_lo = (box2 - box_hi.astype(f32)).astype(jnp.bfloat16)
-
-        recs_g = [tuple(p[gsl] for p in r[:3]) + (r[3][gsl], r[4][gsl])
-                  for r in recs]
-        loc, escaped = _local_coords(recs_g, ox, oy, oz)
-        live = ~escaped  # escaped rays' grads flow via the XLA fallback
-
-        sig, alr, alg, alb = [], [], [], []
-        for c0 in range(0, S, _CHUNK_S):
-            lxy = jnp.concatenate([loc[c0 + i][0] for i in range(_CHUNK_S)])
-            lz = jnp.concatenate([loc[c0 + i][1] for i in range(_CHUNK_S)])
-            vd = jnp.concatenate([loc[c0 + i][2] for i in range(_CHUNK_S)])
-
-            def fetch(_):
-                return tuple(_fetch_chunk(box_hi, box_lo, lxy, lz, vd))
-
-            def zeros(_):
-                z = jnp.zeros((_ROWS, _LANES), f32)
-                return z, z, z, z
-
-            v0, v1, v2, v3 = jax.lax.cond(has_any, fetch, zeros, 0)
-            sig += _split_rows(v0, range(_CHUNK_S))
-            alr += _split_rows(v1, range(_CHUNK_S))
-            alg += _split_rows(v2, range(_CHUNK_S))
-            alb += _split_rows(v3, range(_CHUNK_S))
+        (_, gsl, (ox, oy, ozb, has_any), recs_g, loc, escaped,
+         (sig, alr, alg, alb)) = _group_fetch(
+            recs, g, org, field4, boxA, boxB, sem, S)
+        live = 1 - escaped  # escaped rays' grads flow via the XLA fallback
 
         # forward recompute storing T_s, e_s, w_s, A_s
         g_r, g_g, g_b, g_T = gr[gsl], gg[gsl], gb[gsl], gt[gsl]
@@ -356,7 +353,7 @@ def _bwd_kernel(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
             dt = recs_g[s][3]
             g_od = Ts[s] * es[s] * As[s] - suffix - t_end * g_T
             g_sig = g_od * dt
-            m = (loc[s][2] & live).astype(f32)
+            m = (loc[s][2] * live).astype(f32)
             gvecs[s] = (
                 g_sig * m,
                 ws[s] * g_r * m,
@@ -366,110 +363,110 @@ def _bwd_kernel(cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
             suffix = suffix + ws[s] * As[s]
 
         # accumulate the group's gradient box with transposed one-hot matmuls
-        gboxbuf[:] = jnp.zeros((_B * _B, _B4), f32)
+        gboxA[:] = jnp.zeros((_B * _B, _C4), f32)
+        gboxB[:] = jnp.zeros((_B * _B, _C4), f32)
         for c0 in range(0, S, _CHUNK_S):
-            lxy = jnp.concatenate([loc[c0 + i][0] for i in range(_CHUNK_S)])
-            lz = jnp.concatenate([loc[c0 + i][1] for i in range(_CHUNK_S)])
+            lxy = jnp.concatenate([loc[c0 + k][0] for k in range(_CHUNK_S)])
+            lz = jnp.concatenate([loc[c0 + k][1] for k in range(_CHUNK_S)])
             gv = [
-                jnp.concatenate([gvecs[c0 + i][c] for i in range(_CHUNK_S)])
+                jnp.concatenate([gvecs[c0 + k][c] for k in range(_CHUNK_S)])
                 for c in range(4)
             ]
 
-            def accum(gb):
-                return _accum_chunk(gb, lxy, lz, gv)
+            def accum(gbx):
+                return _accum_chunk(gbx, lxy, lz, gv)
 
-            gboxbuf[:] = jax.lax.cond(
-                has_any, accum, lambda gb: gb, gboxbuf[:]
+            gboxA[:], gboxB[:] = jax.lax.cond(
+                has_any, accum, lambda gbx: gbx, (gboxA[:], gboxB[:])
             )
 
         # merge: in-kernel DMA read-modify-write (grid steps are sequential
         # on the TPU core, so this needs no atomics and no XLA scatter)
         @pl.when(has_any)
         def _():
-            rd = _box_dma(grad_out, boxbuf, sem, ox, oy, oz)
-            rd.start()
-            rd.wait()
-            boxbuf[:] = boxbuf[:] + gboxbuf[:].reshape(_B, _B, _B4)
-            wr = pltpu.make_async_copy(
-                boxbuf,
-                grad_out.at[pl.ds(ox, _B), pl.ds(oy, _B), pl.ds(oz * 4, _B4)],
-                sem,
-            )
-            wr.start()
-            wr.wait()
+            _box_read(grad_out, boxA, boxB, sem, ox, oy, ozb)
+            boxA[:] = boxA[:] + gboxA[:].reshape(_B, _B, _C4)
+            boxB[:] = boxB[:] + gboxB[:].reshape(_B, _B, _C4)
+            _box_write(grad_out, boxA, boxB, sem, ox, oy, ozb)
 
 
 # --------------------------------------------------------------------------
 # host-side op with custom VJP
 
 
-def _ray_plane_specs(n):
-    return [pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)) for _ in range(n)]
-
-
 @functools.lru_cache(maxsize=8)
 def _make_window_op(shape3, S, interpret):
-    """(field3, 12 ray planes) -> (surf_r, surf_g, surf_b, t_end, escaped).
-
-    Planes are (G*_ROWS, 128) arrays; G = rows/_ROWS grid steps. The custom
-    VJP differentiates w.r.t. field3 ONLY (zeros for the ray planes)."""
+    """(field4, org, 12 ray planes) -> (surf_r, surf_g, surf_b, t_end,
+    escaped). Planes are (G*_ROWS, 128) arrays; org is i32 (G*_NG,)
+    bit-packed box origins. The custom VJP differentiates w.r.t. field4
+    ONLY (zeros for org and the ray planes)."""
     Sx, Sy, Sz = shape3
+    Zb = Sz // _ZB
+    ray_specs = [
+        pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)) for _ in range(12)
+    ]
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
-    def fwd_call(field3, *planes):
+    def fwd_call(field4, org, *planes):
         G = planes[0].shape[0] // _ROWS
         kern = functools.partial(_fwd_kernel, shape3=shape3, S=S)
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             kern,
             grid=(G,),
-            in_specs=_ray_plane_specs(12)
-            + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[smem_spec] + ray_specs + [any_spec],
             out_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))] * 5,
             out_shape=[
                 jax.ShapeDtypeStruct(planes[0].shape, dt)
                 for dt in (jnp.float32,) * 4 + (jnp.int32,)
             ],
             scratch_shapes=[
-                pltpu.VMEM((_B, _B, _B4), jnp.float32),
+                pltpu.VMEM((_B, _B, _C4), jnp.float32),
+                pltpu.VMEM((_B, _B, _C4), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(*planes, field3)
-        return outs
+        )(org, *planes, field4)
 
-    def bwd_call(field3, gr, gg, gb, gt, *planes):
+    def bwd_call(field4, org, gr, gg, gb, gt, *planes):
         G = planes[0].shape[0] // _ROWS
         kern = functools.partial(_bwd_kernel, shape3=shape3, S=S)
-        zeros = jnp.zeros((Sx, Sy, Sz * 4), jnp.float32)
+        zeros = jnp.zeros((Sx, Sy, Zb, _C4), jnp.float32)
         (grad,) = pl.pallas_call(
             kern,
             grid=(G,),
-            in_specs=_ray_plane_specs(16)
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_shape=[jax.ShapeDtypeStruct((Sx, Sy, Sz * 4), jnp.float32)],
+            in_specs=[smem_spec] + ray_specs
+            + [pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))] * 4
+            + [any_spec] * 2,
+            out_specs=[any_spec],
+            out_shape=[jax.ShapeDtypeStruct((Sx, Sy, Zb, _C4), jnp.float32)],
             scratch_shapes=[
-                pltpu.VMEM((_B, _B, _B4), jnp.float32),
-                pltpu.VMEM((_B * _B, _B4), jnp.float32),
+                pltpu.VMEM((_B, _B, _C4), jnp.float32),
+                pltpu.VMEM((_B, _B, _C4), jnp.float32),
+                pltpu.VMEM((_B * _B, _C4), jnp.float32),
+                pltpu.VMEM((_B * _B, _C4), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
-            input_output_aliases={17: 0},
+            input_output_aliases={18: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(*planes, gr, gg, gb, gt, field3, zeros)
+        )(org, *planes, gr, gg, gb, gt, field4, zeros)
         return grad
 
     @jax.custom_vjp
-    def op(field3, *planes):
-        return tuple(fwd_call(field3, *planes))
+    def op(field4, org, *planes):
+        return tuple(fwd_call(field4, org, *planes))
 
-    def op_fwd(field3, *planes):
-        return tuple(fwd_call(field3, *planes)), (field3, planes)
+    def op_fwd(field4, org, *planes):
+        return tuple(fwd_call(field4, org, *planes)), (field4, org, planes)
 
     def op_bwd(res, g):
-        field3, planes = res
+        field4, org, planes = res
         gr, gg, gb, gt, _ = g
-        grad = bwd_call(field3, gr, gg, gb, gt, *planes)
-        return (grad,) + tuple(jnp.zeros_like(p) for p in planes)
+        grad = bwd_call(field4, org, gr, gg, gb, gt, *planes)
+        return (grad, jnp.zeros_like(org)) + tuple(
+            jnp.zeros_like(p) for p in planes
+        )
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -498,7 +495,37 @@ def _strip_perm(H, W):
 
 def window_supported(shape3) -> bool:
     Sx, Sy, Sz = shape3
-    return min(Sx, Sy, Sz) >= _B
+    return Sx >= _B and Sy >= _B and Sz >= _BZ and Sz % _ZB == 0
+
+
+def _box_origins(cell, istep, abs_delta, S, shape3, n_pad):
+    """Per-group box origins (ox, oy, ozb, has) i32[G*_NG, 4], XLA-side.
+
+    Per-ray window extent from a conservative closed-form crossing-count
+    bound: axis a takes at most floor(S * rate_a) + 3 of the first S
+    crossings (rate = merge density of the three arithmetic progressions).
+    Exactness is NOT required — the kernel's in-box test escapes any ray
+    the box fails to cover."""
+    i32 = jnp.int32
+    Sx, Sy, Sz = shape3
+    inv = 1.0 / abs_delta
+    rate = inv / inv.sum(axis=1, keepdims=True)
+    n_ax = jnp.minimum(S, jnp.floor(S * rate).astype(i32) + 3)
+    lo = cell + jnp.where(istep < 0, -n_ax, 0)
+    hi = cell + jnp.where(istep > 0, n_ax, 0)
+    shp = jnp.asarray([Sx, Sy, Sz], i32)
+    valid = jnp.all(hi >= 0, axis=1) & jnp.all(lo < shp[None, :], axis=1)
+    lo = jnp.clip(lo, 0, shp[None, :] - 1)
+    lo = jnp.where(valid[:, None], lo, _BIG)
+    if n_pad:
+        lo = jnp.concatenate([lo, jnp.full((n_pad, 3), _BIG, i32)])
+    glo = lo.reshape(-1, _SUBG * _LANES, 3).min(axis=1)  # [G*_NG, 3]
+    has = (glo[:, 0] < _BIG).astype(i32)
+    ox = jnp.clip(glo[:, 0] & ~7, 0, Sx - _B)
+    oy = jnp.clip(glo[:, 1] & ~7, 0, Sy - _B)
+    ozb = jnp.clip(glo[:, 2] >> 5, 0, Sz // _ZB - 2)
+    # bit-pack (SMEM budget): ox/8 (7b) | oy/8 (7b) | ozb (5b) | has (1b)
+    return (ox >> 3) | ((oy >> 3) << 7) | (ozb << 14) | (has << 19)
 
 
 def render_window_fused(
@@ -512,6 +539,9 @@ def render_window_fused(
     image_hw=None,
     interpret=None,
     escape_div: int = 16,
+    return_aux: bool = False,
+    escape_cap: int = None,
+    fallback: bool = True,
 ):
     """Drop-in for render/diff.render_rays_diff_window (accum='fused'):
     volumetric window render whose forward fetch and backward accumulation
@@ -520,10 +550,10 @@ def render_window_fused(
 
     ``escape_div``: escaped-ray budget N/escape_div for the compact XLA
     fallback; more escapes than that re-renders the frame on the XLA path
-    (exactness over speed, lax.cond'd).
-    """
+    (exactness over speed, lax.cond'd). ``escape_cap`` overrides the budget
+    directly (tests)."""
     from ..render.diff import (
-        DiffScene, render_rays_diff_window, _pack_fields,
+        render_rays_diff_window, transmittance, _pack_fields,
     )
     from ..render.renderer import _build_ray, _init_tmax, skybox
     from .support import pallas_supported
@@ -536,10 +566,15 @@ def render_window_fused(
     N = dirs.shape[0]
     Sx, Sy, Sz = scene.density.shape
     if not window_supported((Sx, Sy, Sz)):
-        return render_rays_diff_window(
+        rgb = render_rays_diff_window(
             scene, origin, dirs, num_steps=num_steps, sun_dir=sun_dir,
             sky=sky, start_t=start_t, accum="dedup", enumerate_mode="vec",
         )
+        if return_aux:
+            zi = jnp.zeros((), jnp.int32)
+            return rgb, {"escaped": jnp.zeros(N, bool), "n_escaped": zi,
+                         "t_end": jnp.zeros(N, f32)}
+        return rgb
     S = int(num_steps)
     assert S % _CHUNK_S == 0, f"num_steps {S} must be a multiple of {_CHUNK_S}"
 
@@ -574,6 +609,7 @@ def render_window_fused(
 
     tile = _ROWS * _LANES
     n_pad = (-N) % tile
+    org = _box_origins(cell, istep, abs_delta, S, (Sx, Sy, Sz), n_pad)
     p = lambda a, fill=0: _pad_plane(a, n_pad, fill)
     planes = (
         p(cell[:, 0], _BIG), p(cell[:, 1], _BIG), p(cell[:, 2], _BIG),
@@ -583,19 +619,30 @@ def render_window_fused(
         p(abs_delta[:, 2], 1.0),
     )
     packed = _pack_fields(scene)
-    field3 = packed.reshape(Sx, Sy, Sz * 4)
+    field4 = packed.reshape(Sx, Sy, Sz // _ZB, _C4)
 
     op = _make_window_op((Sx, Sy, Sz), S, bool(interpret))
-    sr, sg, sb, tend, esc = op(field3, *planes)
-    surf = jnp.stack(
-        [v.reshape(-1)[:N] for v in (sr, sg, sb)], axis=1
-    )
+    G = planes[0].shape[0] // _ROWS
+    MAXG = 1024  # SMEM origin budget (16 KB packed) per pallas_call
+    if G <= MAXG:
+        sr, sg, sb, tend, esc = op(field4, org, *planes)
+    else:
+        parts = []
+        for g0 in range(0, G, MAXG):
+            g1 = min(G, g0 + MAXG)
+            o = org[g0 * _NG : g1 * _NG]
+            ps = [p[g0 * _ROWS : g1 * _ROWS] for p in planes]
+            parts.append(op(field4, o, *ps))
+        sr, sg, sb, tend, esc = (
+            jnp.concatenate([p[k] for p in parts]) for k in range(5)
+        )
+    surf = jnp.stack([v.reshape(-1)[:N] for v in (sr, sg, sb)], axis=1)
     t_end = tend.reshape(-1)[:N]
     escaped = esc.reshape(-1)[:N] != 0
 
     # ---- exact fallback for escaped rays via the XLA window path
     n_esc = escaped.sum()
-    K = max(tile, N // escape_div)
+    K = escape_cap if escape_cap else max(min(N, _LANES), N // escape_div)
 
     def with_fallback(_):
         (idx,) = jnp.nonzero(escaped, size=K, fill_value=0)
@@ -607,11 +654,9 @@ def render_window_fused(
             scene, sub_o, sub_d, num_steps=S, sun_dir=sun_dir, sky=False,
             start_t=sub_t0, accum="dedup", enumerate_mode="vec",
         )
-        # T_end of the fallback rays, for the sky term
-        from ..render.diff import transmittance
-
-        t_f = transmittance(scene, sub_o + sub_t0[:, None] * sub_d, sub_d,
-                            num_steps=S)
+        t_f = transmittance(
+            scene, sub_o + sub_t0[:, None] * sub_d, sub_d, num_steps=S
+        )
         safe = jnp.where(valid, idx, N)
         surf2 = surf.at[safe].set(rgb_f, mode="drop")
         tend2 = t_end.at[safe].set(t_f, mode="drop")
@@ -622,18 +667,18 @@ def render_window_fused(
             scene, origin, dirs, num_steps=S, sun_dir=sun_dir, sky=False,
             start_t=t0, accum="dedup", enumerate_mode="vec",
         )
-        from ..render.diff import transmittance
-
-        t_f = transmittance(scene, origin + t0[:, None] * d, dirs,
-                            num_steps=S)
+        t_f = transmittance(
+            scene, origin + t0[:, None] * d, dirs, num_steps=S
+        )
         return rgb_f, t_f
 
-    surf, t_end = jax.lax.cond(
-        n_esc > 0,
-        lambda _: jax.lax.cond(n_esc <= K, with_fallback, full_xla, 0),
-        lambda _: (surf, t_end),
-        0,
-    )
+    if fallback:
+        surf, t_end = jax.lax.cond(
+            n_esc > 0,
+            lambda _: jax.lax.cond(n_esc <= K, with_fallback, full_xla, 0),
+            lambda _: (surf, t_end),
+            0,
+        )
 
     rgb = surf
     if sky:
@@ -642,4 +687,6 @@ def render_window_fused(
         rgb = rgb + t_end[:, None] * skybox(d, sun)
     if inv is not None:
         rgb = jnp.take(rgb, inv, axis=0)
+    if return_aux:
+        return rgb, {"escaped": escaped, "n_escaped": n_esc, "t_end": t_end}
     return rgb

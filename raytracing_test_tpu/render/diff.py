@@ -514,6 +514,19 @@ def render_rays_diff_guided(
     t_hit = jnp.linalg.norm(aux["hit_pos"] - o, axis=1)
     seed = jnp.where(aux["hit"], jnp.maximum(t_hit - margin, 0.0), 1e6)
     seed = jax.lax.stop_gradient(seed)
+    if accum == "fused":
+        # the Pallas window kernel pair (kernels/fused_window.py): in-VMEM
+        # fetch + in-kernel gradient-box accumulation. Field gradients only.
+        from ..kernels.fused_window import render_window_fused
+
+        assert not shading and not shadow_steps, (
+            "accum='fused' serves the unshaded window; use 'dedup' for "
+            "shading/shadow fits"
+        )
+        return render_window_fused(
+            scene, origin, dirs, num_steps=num_steps, sun_dir=sun_dir,
+            sky=sky, start_t=seed, image_hw=image_hw,
+        )
     if window:
         return render_rays_diff_window(
             scene, origin, dirs, num_steps=num_steps, sun_dir=sun_dir, sky=sky,

@@ -1,0 +1,284 @@
+"""Fused window kernel (kernels/fused_window.py): parity + gradient checks.
+
+The kernel pair runs in interpret mode on CPU; the anchor is the XLA window
+path with the plain-scatter accumulator (the correctness reference of
+render/diff.py). Gradients must reconstruct to ~1e-5 relative — the hi+lo
+bf16 one-hot contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracing_test_tpu.core import flatten
+from raytracing_test_tpu.core.color import rgb_to_u64
+from raytracing_test_tpu.core.tree import Palette
+from raytracing_test_tpu.core.types import Block
+from raytracing_test_tpu.render import diff
+from raytracing_test_tpu.render.camera import Camera, ray_directions
+from raytracing_test_tpu.kernels import fused_window as fw
+
+
+def _world(shape=(64, 64, 64), pillar=False):
+    pal = Palette()
+    red = pal.id_for(Block(0, int(rgb_to_u64(200, 30, 30))))
+    green = pal.id_for(Block(0, int(rgb_to_u64(30, 200, 30))))
+    grid = np.zeros(shape, np.uint8)
+    grid[:, 0:8, :] = red
+    if pillar:
+        grid[shape[0] // 2 : shape[0] // 2 + 4, 8:30, 20:24] = green
+    else:
+        grid[10:14, 8:12, 10:14] = green
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 8.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    return dscene
+
+
+def _grads(fn, dscene):
+    return jax.jit(jax.grad(lambda s: jnp.mean(fn(s) ** 2)))(dscene)
+
+
+def _assert_grads_close(g_got, g_ref, rtol, msg=""):
+    for k in ("density", "albedo"):
+        a = np.asarray(getattr(g_got, k))
+        b = np.asarray(getattr(g_ref, k))
+        sc = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / sc, b / sc, atol=rtol, err_msg=f"{msg}:{k}")
+
+
+def test_fused_window_matches_scatter():
+    """rgb and field gradients match the XLA scatter anchor on a world the
+    box fully covers (no escapes)."""
+    dscene = _world()
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    dirs = ray_directions(cam, 12, 12)
+    seed = jnp.zeros(dirs.shape[0], jnp.float32)
+
+    got, aux = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            return_aux=True,
+        )
+    )(dscene)
+    assert int(aux["n_escaped"]) == 0
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="scatter"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    g_got = _grads(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            interpret=True,
+        ),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_window(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            accum="scatter",
+        ),
+        dscene,
+    )
+    _assert_grads_close(g_got, g_ref, 1e-4)
+
+
+def test_fused_window_sky_gradient():
+    """sky=True exercises the T_end cotangent (g_T) through the kernel."""
+    dscene = _world()
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.6, 0.1, 0.5], jnp.float32),  # grazing: sky + floor
+    )
+    dirs = ray_directions(cam, 8, 8)
+    seed = jnp.zeros(dirs.shape[0], jnp.float32)
+    got = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=True,
+            interpret=True,
+        )
+    )(dscene)
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, sky=True,
+        accum="scatter",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g_got = _grads(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=True,
+            interpret=True,
+        ),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_window(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=True,
+            accum="scatter",
+        ),
+        dscene,
+    )
+    _assert_grads_close(g_got, g_ref, 1e-4)
+
+
+def test_fused_window_escape_fallback():
+    """Rays whose window leaves the group box are re-rendered exactly by the
+    compacted XLA fallback (discontinuous seeds force escapes)."""
+    dscene = _world((64, 64, 64))
+    cam = Camera(
+        pos=jnp.asarray([4.0, 30.0, 4.0], jnp.float32),
+        dir=jnp.asarray([0.8, -0.3, 0.5], jnp.float32),
+    )
+    dirs = ray_directions(cam, 16, 16)
+    N = dirs.shape[0]
+    seed = jnp.where((jnp.arange(N) // 7) % 2 == 0, 0.0, 40.0).astype(
+        jnp.float32
+    )
+    got, aux = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            return_aux=True,
+        )
+    )(dscene)
+    assert int(aux["n_escaped"]) > 0  # the escape path must actually fire
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="scatter"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+    g_got = _grads(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            interpret=True,
+        ),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_window(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            accum="scatter",
+        ),
+        dscene,
+    )
+    # the fallback accumulates via dedup (its documented rtol ~1e-4)
+    _assert_grads_close(g_got, g_ref, 2e-4)
+
+
+def test_fused_window_escape_overflow_full_xla():
+    """More escapes than the compact budget -> the whole frame re-renders on
+    the XLA path (exactness over speed)."""
+    dscene = _world((64, 64, 64))
+    cam = Camera(
+        pos=jnp.asarray([4.0, 30.0, 4.0], jnp.float32),
+        dir=jnp.asarray([0.8, -0.3, 0.5], jnp.float32),
+    )
+    dirs = ray_directions(cam, 8, 8)
+    N = dirs.shape[0]
+    seed = ((jnp.arange(N) % 3) * 40.0).astype(jnp.float32)
+    got, aux = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            return_aux=True, escape_cap=8,
+        )
+    )(dscene)
+    assert int(aux["n_escaped"]) > 8
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="scatter"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_window_image_permutation():
+    """image_hw routes rays through the 8x32-pixel strip permutation; output
+    order must be restored exactly."""
+    dscene = _world()
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    H, W = 16, 64
+    dirs = ray_directions(cam, W, H)
+    seed = jnp.zeros(H * W, jnp.float32)
+    got = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            image_hw=(H, W),
+        )
+    )(dscene)
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="scatter"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_window_small_world_falls_back():
+    """Worlds smaller than the box edge use the XLA window path outright."""
+    pal = Palette()
+    red = pal.id_for(Block(0, int(rgb_to_u64(200, 30, 30))))
+    grid = np.zeros((32, 32, 32), np.uint8)  # Sz < 64: unsupported
+    grid[:, 0:8, :] = red
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.DiffScene(
+        density=jnp.asarray(np.where(grid > 0, 8.0, 0.0).astype(np.float32)),
+        albedo=jnp.asarray(albedo[grid]),
+    )
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    dirs = ray_directions(cam, 8, 8)
+    seed = jnp.zeros(64, jnp.float32)
+    got = fw.render_window_fused(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True
+    )
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="dedup",
+        enumerate_mode="vec",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_guided_accum_fused_end_to_end():
+    """render_rays_diff_guided(accum='fused') composes the hard seed pass
+    with the fused window and matches the dedup-accumulated guided render."""
+    from raytracing_test_tpu.config import WorldConfig
+    from raytracing_test_tpu.worldgen import terrain
+
+    wcfg = WorldConfig(width=48, length=48, grid_shape=(64, 64, 64))
+    grid, pal = terrain.gen_world_grid(wcfg)
+    scene = flatten.scene_from_grid(grid, pal)
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.diff_scene_from_grid(grid, albedo, solid_density=50.0)
+    cam = Camera(
+        pos=jnp.asarray([24.0, 50.0, 10.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.75, 0.55], jnp.float32),
+    )
+    dirs = ray_directions(cam, 32, 16)
+
+    def render(accum):
+        return diff.render_rays_diff_guided(
+            dscene, scene, cam.pos, dirs, num_steps=24, accum=accum,
+            image_hw=(16, 32), coarse_factor=4,
+        )
+
+    got = np.asarray(jax.jit(lambda s=dscene: render("fused"))())
+    ref = np.asarray(render("dedup"))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    g_got = _grads(
+        lambda s: diff.render_rays_diff_guided(
+            s, scene, cam.pos, dirs, num_steps=24, accum="fused", sky=False,
+        ),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_guided(
+            s, scene, cam.pos, dirs, num_steps=24, accum="scatter", sky=False,
+        ),
+        dscene,
+    )
+    _assert_grads_close(g_got, g_ref, 2e-4)
