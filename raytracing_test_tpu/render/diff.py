@@ -337,8 +337,11 @@ def render_rays_diff_window(
     The whole backward therefore performs ONE batched accumulation (the
     gather's VJP) instead of one serialized scatter per scan step — the
     round-1 fwd+bwd wall (VERDICT weak #1/#2). ``accum`` picks the VJP engine:
-    'dedup' (ops/scatter sort-based), 'splat' (ops/splat MXU box accumulation),
-    or 'scatter' (plain XLA, the correctness anchor).
+    'dedup' (ops/scatter sort-based — the XLA accumulator of record) or
+    'scatter' (plain XLA, the correctness anchor). The headline engine is
+    the Pallas window pair (kernels/fused_window.py, routed by the guided
+    path's accum='fused'), which replaced the retired MXU box-splat lineage
+    (r02-r03; its box-merge scatter lost every measurement — VERIFY_r03 s3).
 
     ``shading=True`` multiplies each segment's albedo by the reference's
     face-shading intensity (calcLightIntensity, low_res.frag:242-252) computed
@@ -378,13 +381,6 @@ def render_rays_diff_window(
         from ..ops.scatter import take_rows
 
         rows = take_rows(packed, lin.reshape(-1))
-    elif accum in ("splat", "splat-pallas"):
-        from ..ops.splat import take_rows_splat
-
-        rows = take_rows_splat(
-            packed, lin.reshape(-1), (Sx, Sy, Sz), num_steps,
-            "pallas" if accum == "splat-pallas" else "xla",
-        )
     else:
         rows = jnp.take(packed, lin.reshape(-1), axis=0)
     rows = rows.reshape(N, num_steps, 4)

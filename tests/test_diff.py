@@ -284,7 +284,7 @@ def test_window_formulation_matches_scan():
         return jax.jit(jax.grad(lambda s: jnp.mean(f(s) ** 2)))(dscene)
 
     g_scan = gl(lambda s: diff.render_rays_diff(s, cam.pos, dirs, num_steps=32, start_t=seed, sky=False))
-    for accum in ("scatter", "dedup", "splat"):
+    for accum in ("scatter", "dedup"):
         g_win = gl(
             lambda s: diff.render_rays_diff_window(
                 s, cam.pos, dirs, num_steps=32, start_t=seed, sky=False, accum=accum
@@ -297,63 +297,6 @@ def test_window_formulation_matches_scan():
             atol=2e-4,
             err_msg=accum,
         )
-
-
-def test_splat_accumulator_coherent_rays():
-    """Camera-coherent ray windows exercise the dense MXU box path of
-    ops/splat (not just the outlier fallback); gradients must match the
-    plain-scatter accumulation."""
-    from raytracing_test_tpu.ops import splat as splat_mod
-
-    grid, pal = _simple_world()
-    albedo, _, _ = flatten.palette_arrays(pal)
-    dscene = diff.DiffScene(
-        density=jnp.asarray(np.where(grid > 0, 8.0, 0.0).astype(np.float32)),
-        albedo=jnp.asarray(albedo[grid]),
-    )
-    cam = Camera(
-        pos=jnp.asarray([16.0, 26.0, 16.0], jnp.float32),
-        dir=jnp.asarray([0.1, -0.9, 0.15], jnp.float32),
-    )
-    dirs = ray_directions(cam, 16, 16)  # 256 rays = 8 groups of 32
-    seed = jnp.zeros(dirs.shape[0], jnp.float32)
-
-    def gl(accum):
-        def loss(s):
-            return jnp.mean(
-                diff.render_rays_diff_window(
-                    s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
-                    accum=accum,
-                ) ** 2
-            )
-        return jax.jit(jax.grad(loss))(dscene)
-
-    g_ref = gl("scatter")
-    g_spl = gl("splat")
-    scale = np.abs(np.asarray(g_ref.density)).max() + 1e-12
-    np.testing.assert_allclose(
-        np.asarray(g_spl.density) / scale, np.asarray(g_ref.density) / scale, atol=5e-4
-    )
-    # and the raw op on a synthetic window (box path, with injected outliers)
-    rng = np.random.default_rng(0)
-    shape3 = (32, 32, 32)
-    S, N = 24, 128
-    base = rng.integers(0, 8 * 32 * 32, N)
-    lin = (base[:, None] + np.arange(S)[None, :] * (32 * 32)).reshape(-1).astype(np.int32)
-    lin[rng.integers(0, N * S, 50)] = rng.integers(0, 32**3, 50)
-    g = rng.normal(size=(N * S, 4)).astype(np.float32)
-    table = rng.normal(size=(32**3, 4)).astype(np.float32)
-
-    def loss_s(t):
-        return (splat_mod.take_rows_splat(t, jnp.asarray(lin), shape3, S) * jnp.asarray(g)).sum()
-
-    def loss_r(t):
-        return (jnp.take(t, jnp.asarray(lin), axis=0) * jnp.asarray(g)).sum()
-
-    gs = np.asarray(jax.grad(loss_s)(jnp.asarray(table)))
-    gr = np.asarray(jax.grad(loss_r)(jnp.asarray(table)))
-    rel = np.abs(gs - gr).max() / (np.abs(gr).max() + 1e-12)
-    assert rel < 2e-5, rel
 
 
 def test_shaded_window_hard_limit_matches_hard_render():

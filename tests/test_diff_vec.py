@@ -76,30 +76,3 @@ def test_vec_window_render_and_grads_match():
         np.asarray(g1.density), np.asarray(g2.density), atol=1e-4 * sc)
 
 
-def test_splat_pallas_grads_match_scatter():
-    """kernels/splat_kernel.py (VMEM box contraction) must reproduce the plain
-    scatter VJP — same contract as ops/splat.py's XLA engine."""
-    from raytracing_test_tpu.config import WorldConfig
-    from raytracing_test_tpu.core import flatten
-    from raytracing_test_tpu.render.camera import Camera, ray_directions
-    from raytracing_test_tpu.worldgen import terrain
-
-    wcfg = WorldConfig(width=48, length=48, grid_shape=(64, 64, 64))
-    grid, pal = terrain.gen_world_grid(wcfg)
-    albedo, _, _ = flatten.palette_arrays(pal)
-    ds = diff.diff_scene_from_grid(grid, albedo, solid_density=50.0)
-    cam = Camera(pos=jnp.asarray([24.0, 50.0, -10.0], jnp.float32),
-                 dir=jnp.asarray([0.2, -0.7, 0.8], jnp.float32))
-    rd = ray_directions(cam, 64, 32)
-
-    def gradof(accum):
-        return jax.grad(lambda f: diff.render_rays_diff_window(
-            f, cam.pos, rd, num_steps=24, accum=accum).sum())(ds)
-
-    g_ref = gradof("scatter")
-    g_sp = gradof("splat-pallas")
-    sc = float(jnp.abs(g_ref.density).max())
-    np.testing.assert_allclose(
-        np.asarray(g_sp.density), np.asarray(g_ref.density), atol=1e-4 * sc)
-    np.testing.assert_allclose(
-        np.asarray(g_sp.albedo), np.asarray(g_ref.albedo), atol=1e-3)
