@@ -47,9 +47,11 @@ from ..core.types import Properties
 
 _LANES = 128
 _TILE_ROWS = 32  # rays per tile = 32*128 = 4096 = one 64x64 pixel block
-_RF = 4  # row chunk for the one-hot lookups (bounds VMEM intermediates:
-# the (RF,128,256) m1/select buffers are the kernel's VMEM peak — RF=8 put the
-# 512^2 kernel 2.85M over the 16M scoped-vmem limit on the v5e)
+_RF = 2  # row chunk for the one-hot lookups (bounds VMEM intermediates:
+# the (RF,128,·) one-hot/m1 buffers are the kernel's VMEM peak — RF=8 put the
+# 512^2 kernel 2.85M over the 16M scoped-vmem limit on the v5e, and RF=4 sat
+# so close to 16M that operand-layout shifts (e.g. adding start_t upstream)
+# pushed it 212K over; RF=2 buys ~1.4M headroom, measured cost-neutral)
 _ITER_CAP = 4096
 _BIG = 1 << 20
 _MAX_JUMP = 512
@@ -784,6 +786,70 @@ def render_rays_fused(
         col = jnp.take(col, inv, axis=0)
         aux = {k: jnp.take(v, inv, axis=0) for k, v in aux.items()}
     return col, aux
+
+
+def render_rays_fused_dp(
+    scene, ft, origin, dirs, cfg, mesh, time_s=None, interpret=None,
+    image_hw=None,
+):
+    """Data-parallel fused render: rays sharded over the mesh's "data" axis
+    via ``shard_map`` (a Pallas call is a custom call XLA cannot partition,
+    so dp is explicit — SURVEY §5.8's "rays/tiles sharded via shard_map").
+    Scene + tables replicate through closure capture; rays are pure dp, so
+    the result is bit-exact vs the single-device kernel (asserted in
+    tests/test_fused.py). ``image_hw`` applies the 64x64-pixel block remap
+    GLOBALLY, then shards whole tiles (per-shard spatial coherence equals
+    the single-device kernel's).
+
+    Returns (col, aux) with the seed-relevant aux fields (hit, hit_pos).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    f32 = jnp.float32
+    origin = jnp.asarray(origin, f32)
+    dirs = jnp.asarray(dirs, f32)
+    N = dirs.shape[0]
+    n = mesh.shape[DATA_AXIS]
+
+    perm = inv = None
+    if image_hw is not None:
+        H, W = image_hw
+        bh, bw = (_TILE_ROWS * _LANES) // 64, 64
+        if H % bh == 0 and W % bw == 0 and H * W == N:
+            pb, inv_ = _block_perm(H, W)
+            perm = jnp.asarray(pb)
+            inv = jnp.asarray(inv_)
+            dirs = jnp.take(dirs, perm, axis=0)
+            if origin.ndim == 2:
+                origin = jnp.take(origin, perm, axis=0)
+    assert N % n == 0, f"{N} rays not divisible by {n} data shards"
+
+    shared_origin = origin.ndim == 1
+
+    def local(dirs_blk, origin_blk):
+        o = origin_blk if not shared_origin else origin
+        col, aux = render_rays_fused(
+            scene, ft, o, dirs_blk, cfg, time_s=time_s, interpret=interpret
+        )
+        return col, aux["hit"], aux["hit_pos"]
+
+    origin_arg = origin if not shared_origin else jnp.zeros((N, 1), f32)
+    f = functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)),
+        check_vma=False,
+    )(local)
+    col, hit, hit_pos = f(dirs, origin_arg)
+    if inv is not None:
+        col = jnp.take(col, inv, axis=0)
+        hit = jnp.take(hit, inv)
+        hit_pos = jnp.take(hit_pos, inv, axis=0)
+    return col, {"hit": hit, "hit_pos": hit_pos}
 
 
 def render_image_fused(scene, ft, camera, cfg, time_s=None, interpret=None):

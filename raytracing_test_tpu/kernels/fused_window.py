@@ -32,8 +32,8 @@ compositing, AND the gradient accumulation — into one Pallas kernel pair:
     then merges the box into the HBM gradient field with an in-kernel DMA
     read-modify-write. TPU grid steps execute sequentially on the core, so
     the read-modify-write needs no atomics and NEVER touches XLA's
-    element-serialized scatter (the wall that killed ops/splat.py's box
-    merge — VERIFY_r03 s3);
+    element-serialized scatter (the wall that killed the retired r02-r03
+    MXU box-splat lineage — VERIFY_r03 s3);
   - rays whose window leaves their group's box (depth discontinuities,
     wrapped far-out sky seeds) "escape": the kernel zeroes their
     contributions and flags them, and the XLA window path (dedup
@@ -225,20 +225,30 @@ def _box_write(ref4, boxA, boxB, sem, ox, oy, ozb):
     d2.wait()
 
 
-def _group_fetch(recs, g, org, field4, boxA, boxB, sem, S):
-    """Shared fwd/bwd per-group stage: box DMA + chunked one-hot fetch.
-    Returns (recs_g, loc, escaped, sig/alr/alg/alb per-step lists)."""
-    f32 = jnp.float32
+def _group_coords(recs, g, org):
+    """Per-group origin unpack + local coords. Origins arrive bit-packed,
+    ONE i32 per group: SMEM is ~16-32 KB and an unpacked (G*NG, 4) table
+    broke the compile beyond G=256 (PROBE_r04)."""
     i = pl.program_id(0)
     gi = i * _NG + g
-    # origins arrive bit-packed, ONE i32 per group: SMEM is ~16-32 KB and an
-    # unpacked (G*NG, 4) table broke the compile beyond G=256 (PROBE_r04)
     v = org[gi]
     ox = (v & 127) << 3
     oy = ((v >> 7) & 127) << 3
     ozb = (v >> 14) & 31
     has_any = ((v >> 19) & 1) > 0
     gsl = slice(g * _SUBG, (g + 1) * _SUBG)
+    recs_g = [tuple(p[gsl] for p in r[:3]) + (r[3][gsl], r[4][gsl])
+              for r in recs]
+    loc, escaped = _local_coords(recs_g, ox, oy, ozb * _ZB)
+    return gi, gsl, (ox, oy, ozb, has_any), recs_g, loc, escaped
+
+
+def _group_fetch(recs, g, org, field4, boxA, boxB, sem, S):
+    """Shared per-group stage: box DMA + chunked one-hot fetch.
+    Returns (recs_g, loc, escaped, sig/alr/alg/alb per-step lists)."""
+    f32 = jnp.float32
+    gi, gsl, (ox, oy, ozb, has_any), recs_g, loc, escaped = _group_coords(
+        recs, g, org)
 
     @pl.when(has_any)
     def _():
@@ -250,10 +260,6 @@ def _group_fetch(recs, g, org, field4, boxA, boxB, sem, S):
     bA_lo = (bA - bA_hi.astype(f32)).astype(jnp.bfloat16)
     bB_hi = bB.astype(jnp.bfloat16)
     bB_lo = (bB - bB_hi.astype(f32)).astype(jnp.bfloat16)
-
-    recs_g = [tuple(p[gsl] for p in r[:3]) + (r[3][gsl], r[4][gsl])
-              for r in recs]
-    loc, escaped = _local_coords(recs_g, ox, oy, ozb * _ZB)
 
     sig, alr, alg, alb = [], [], [], []
     for c0 in range(0, S, _CHUNK_S):
@@ -280,7 +286,7 @@ def _group_fetch(recs, g, org, field4, boxA, boxB, sem, S):
 
 def _fwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
                 field4,
-                osr, osg, osb, otend, oesc,
+                osr, osg, osb, otend, oesc, rsig, ralr, ralg, ralb,
                 boxA, boxB, sem,
                 *, shape3, S):
     f32 = jnp.float32
@@ -294,10 +300,17 @@ def _fwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
             recs, g, org, field4, boxA, boxB, sem, S)
 
         # sequential compositing (same recurrence as the XLA window's
-        # exp-of-cumsum formulation up to fp reassociation)
+        # exp-of-cumsum formulation up to fp reassociation); the fetched
+        # rows also stream out as residuals so the backward never touches
+        # the field again (re-march without re-fetch)
         trans = jnp.ones((_SUBG, _LANES), f32)
         acc = [jnp.zeros((_SUBG, _LANES), f32) for _ in range(3)]
         for s in range(S):
+            r0 = s * _ROWS + g * _SUBG
+            rsig[r0 : r0 + _SUBG] = sig[s]
+            ralr[r0 : r0 + _SUBG] = alr[s]
+            ralg[r0 : r0 + _SUBG] = alg[s]
+            ralb[r0 : r0 + _SUBG] = alb[s]
             dt = recs_g[s][3]
             e = jnp.exp(-sig[s] * dt)
             w = trans * (1.0 - e)
@@ -313,8 +326,8 @@ def _fwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
 
 
 def _bwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
-                gr, gg, gb, gt,
-                field4, grad_in,
+                gr, gg, gb, gt, rsig, ralr, ralg, ralb,
+                grad_in,
                 grad_out,
                 boxA, boxB, gboxA, gboxB, sem,
                 *, shape3, S):
@@ -325,9 +338,18 @@ def _bwd_kernel(org, cx, cy, cz, tx, ty, tz, isx, isy, isz, ax, ay, az,
         isx[:], isy[:], isz[:], ax[:], ay[:], az[:], S, shape3,
     )
     for g in range(_NG):
-        (_, gsl, (ox, oy, ozb, has_any), recs_g, loc, escaped,
-         (sig, alr, alg, alb)) = _group_fetch(
-            recs, g, org, field4, boxA, boxB, sem, S)
+        _, gsl, (ox, oy, ozb, has_any), recs_g, loc, escaped = (
+            _group_coords(recs, g, org))
+        # fetched field rows arrive as residuals from the forward kernel —
+        # the backward touches the field ONLY through the gradient merge
+        sig = [rsig[s * _ROWS + g * _SUBG : s * _ROWS + (g + 1) * _SUBG]
+               for s in range(S)]
+        alr = [ralr[s * _ROWS + g * _SUBG : s * _ROWS + (g + 1) * _SUBG]
+               for s in range(S)]
+        alg = [ralg[s * _ROWS + g * _SUBG : s * _ROWS + (g + 1) * _SUBG]
+               for s in range(S)]
+        alb = [ralb[s * _ROWS + g * _SUBG : s * _ROWS + (g + 1) * _SUBG]
+               for s in range(S)]
         live = 1 - escaped  # escaped rays' grads flow via the XLA fallback
 
         # forward recompute storing T_s, e_s, w_s, A_s
@@ -411,15 +433,18 @@ def _make_window_op(shape3, S, interpret):
     def fwd_call(field4, org, *planes):
         G = planes[0].shape[0] // _ROWS
         kern = functools.partial(_fwd_kernel, shape3=shape3, S=S)
+        res_shape = (G * S * _ROWS, _LANES)
+        res_spec = pl.BlockSpec((S * _ROWS, _LANES), lambda i: (i, 0))
         return pl.pallas_call(
             kern,
             grid=(G,),
             in_specs=[smem_spec] + ray_specs + [any_spec],
-            out_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))] * 5,
+            out_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))] * 5
+            + [res_spec] * 4,
             out_shape=[
                 jax.ShapeDtypeStruct(planes[0].shape, dt)
                 for dt in (jnp.float32,) * 4 + (jnp.int32,)
-            ],
+            ] + [jax.ShapeDtypeStruct(res_shape, jnp.float32)] * 4,
             scratch_shapes=[
                 pltpu.VMEM((_B, _B, _C4), jnp.float32),
                 pltpu.VMEM((_B, _B, _C4), jnp.float32),
@@ -428,16 +453,18 @@ def _make_window_op(shape3, S, interpret):
             interpret=interpret,
         )(org, *planes, field4)
 
-    def bwd_call(field4, org, gr, gg, gb, gt, *planes):
+    def bwd_call(org, gr, gg, gb, gt, res4, *planes):
         G = planes[0].shape[0] // _ROWS
         kern = functools.partial(_bwd_kernel, shape3=shape3, S=S)
         zeros = jnp.zeros((Sx, Sy, Zb, _C4), jnp.float32)
+        res_spec = pl.BlockSpec((S * _ROWS, _LANES), lambda i: (i, 0))
         (grad,) = pl.pallas_call(
             kern,
             grid=(G,),
             in_specs=[smem_spec] + ray_specs
             + [pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))] * 4
-            + [any_spec] * 2,
+            + [res_spec] * 4
+            + [any_spec],
             out_specs=[any_spec],
             out_shape=[jax.ShapeDtypeStruct((Sx, Sy, Zb, _C4), jnp.float32)],
             scratch_shapes=[
@@ -447,23 +474,24 @@ def _make_window_op(shape3, S, interpret):
                 pltpu.VMEM((_B * _B, _C4), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
-            input_output_aliases={18: 0},
+            input_output_aliases={21: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(org, *planes, gr, gg, gb, gt, field4, zeros)
+        )(org, *planes, gr, gg, gb, gt, *res4, zeros)
         return grad
 
     @jax.custom_vjp
     def op(field4, org, *planes):
-        return tuple(fwd_call(field4, org, *planes))
+        return tuple(fwd_call(field4, org, *planes))[:5]
 
     def op_fwd(field4, org, *planes):
-        return tuple(fwd_call(field4, org, *planes)), (field4, org, planes)
+        outs = tuple(fwd_call(field4, org, *planes))
+        return outs[:5], (org, planes, outs[5:])
 
     def op_bwd(res, g):
-        field4, org, planes = res
+        org, planes, res4 = res
         gr, gg, gb, gt, _ = g
-        grad = bwd_call(field4, org, gr, gg, gb, gt, *planes)
+        grad = bwd_call(org, gr, gg, gb, gt, res4, *planes)
         return (grad, jnp.zeros_like(org)) + tuple(
             jnp.zeros_like(p) for p in planes
         )
@@ -542,6 +570,7 @@ def render_window_fused(
     return_aux: bool = False,
     escape_cap: int = None,
     fallback: bool = True,
+    overflow: str = "full",
 ):
     """Drop-in for render/diff.render_rays_diff_window (accum='fused'):
     volumetric window render whose forward fetch and backward accumulation
@@ -654,11 +683,13 @@ def render_window_fused(
             scene, sub_o, sub_d, num_steps=S, sun_dir=sun_dir, sky=False,
             start_t=sub_t0, accum="dedup", enumerate_mode="vec",
         )
+        safe = jnp.where(valid, idx, N)
+        surf2 = surf.at[safe].set(rgb_f, mode="drop")
+        if not sky:  # t_end unused: skip the escaped-ray transmittance march
+            return surf2, t_end
         t_f = transmittance(
             scene, sub_o + sub_t0[:, None] * sub_d, sub_d, num_steps=S
         )
-        safe = jnp.where(valid, idx, N)
-        surf2 = surf.at[safe].set(rgb_f, mode="drop")
         tend2 = t_end.at[safe].set(t_f, mode="drop")
         return surf2, tend2
 
@@ -667,18 +698,34 @@ def render_window_fused(
             scene, origin, dirs, num_steps=S, sun_dir=sun_dir, sky=False,
             start_t=t0, accum="dedup", enumerate_mode="vec",
         )
+        if not sky:
+            return rgb_f, t_end
         t_f = transmittance(
             scene, origin + t0[:, None] * d, dirs, num_steps=S
         )
         return rgb_f, t_f
 
     if fallback:
-        surf, t_end = jax.lax.cond(
-            n_esc > 0,
-            lambda _: jax.lax.cond(n_esc <= K, with_fallback, full_xla, 0),
-            lambda _: (surf, t_end),
-            0,
-        )
+        if overflow == "full":
+            # exact everywhere: > K escapes re-render the frame on XLA.
+            # NOTE: this doubles the program; the tunneled remote compiler
+            # cannot build it at 1024^2 (PROBE_r04) — use overflow="compact"
+            # there and size escape_div generously (escapes were 0.45% at the
+            # bench camera vs the 6.25% default budget).
+            surf, t_end = jax.lax.cond(
+                n_esc > 0,
+                lambda _: jax.lax.cond(n_esc <= K, with_fallback, full_xla, 0),
+                lambda _: (surf, t_end),
+                0,
+            )
+        else:
+            # compact-only, STRAIGHT-LINE: escapes > 0 at essentially every
+            # real camera, and lax.cond's residual plumbing under grad cost
+            # ~100 ms at 1024^2 (VERIFY_r04) — run the compact fallback
+            # unconditionally (zero escapes render K dummy rays, masked out
+            # by `valid`). Escapes beyond K keep their kernel values (and
+            # zero field grads) — aux["n_escaped"] vs K makes the drop loud.
+            surf, t_end = with_fallback(0)
 
     rgb = surf
     if sky:
@@ -689,4 +736,80 @@ def render_window_fused(
         rgb = jnp.take(rgb, inv, axis=0)
     if return_aux:
         return rgb, {"escaped": escaped, "n_escaped": n_esc, "t_end": t_end}
+    return rgb
+
+
+def render_window_fused_dp(
+    scene,
+    origin,
+    dirs,
+    mesh,
+    num_steps: int = 24,
+    sun_dir=(2.0, 1.0, 4.0),
+    sky: bool = True,
+    start_t=None,
+    image_hw=None,
+    interpret=None,
+    escape_div: int = 16,
+    overflow: str = "full",
+):
+    """Data-parallel fused window render: rays (+ seeds) sharded over the
+    mesh's "data" axis via ``shard_map``, the field replicated. The escape
+    fallback runs per shard (escapes are per-ray — no collectives needed).
+    Differentiable w.r.t. the field: the field enters as an UNMAPPED
+    shard_map operand, so its cotangent is psum'ed over the data axis by the
+    shard_map transpose — the dp gradient all-reduce, explicit-collectives
+    style (asserted vs single-device in tests/test_fused_window.py).
+    ``image_hw`` remaps to 8x32-pixel strips globally, then shards whole
+    strips."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+    from ..render.diff import DiffScene
+
+    f32 = jnp.float32
+    origin = jnp.asarray(origin, f32)
+    dirs = jnp.asarray(dirs, f32)
+    N = dirs.shape[0]
+    n = mesh.shape[DATA_AXIS]
+
+    inv = None
+    if image_hw is not None:
+        H, W = image_hw
+        if H % 8 == 0 and W % 32 == 0 and H * W == N:
+            pb, inv_ = _strip_perm(H, W)
+            inv = jnp.asarray(inv_)
+            perm = jnp.asarray(pb)
+            dirs = jnp.take(dirs, perm, axis=0)
+            if origin.ndim == 2:
+                origin = jnp.take(origin, perm, axis=0)
+            if start_t is not None:
+                start_t = jnp.take(jnp.asarray(start_t, f32), perm)
+    assert N % n == 0, f"{N} rays not divisible by {n} data shards"
+    if start_t is None:
+        start_t = jnp.zeros(N, f32)
+    start_t = jnp.asarray(start_t, f32)
+    shared_origin = origin.ndim == 1
+    origin_arg = origin if not shared_origin else jnp.zeros((N, 1), f32)
+
+    def local(density, albedo, dirs_blk, seed_blk, origin_blk):
+        o = origin_blk if not shared_origin else origin
+        return render_window_fused(
+            DiffScene(density, albedo), o, dirs_blk, num_steps=num_steps,
+            sun_dir=sun_dir, sky=sky, start_t=seed_blk, interpret=interpret,
+            escape_div=escape_div, overflow=overflow,
+        )
+
+    f = functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )(local)
+    rgb = f(scene.density, scene.albedo, dirs, start_t, origin_arg)
+    if inv is not None:
+        rgb = jnp.take(rgb, inv, axis=0)
     return rgb

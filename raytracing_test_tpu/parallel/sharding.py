@@ -153,6 +153,73 @@ def make_train_step_guided(
     return train_step
 
 
+def make_train_step_fused(
+    mesh: Mesh, optimizer, guide_scene: Scene, guide_tables,
+    num_steps: int = 24, interpret=None, overflow: str = "compact",
+):
+    """Data-parallel training step on the FUSED engines (VERDICT r03 item 5):
+    per shard, the fused march kernel seeds the guided window
+    (kernels/fused_march) and the fused window kernel pair renders and
+    accumulates field gradients in VMEM (kernels/fused_window); the
+    per-shard field gradients are then psum'ed over the data axis.
+
+    A Pallas call is a custom call XLA cannot partition, so the dp
+    collectives are spelled explicitly with ``shard_map`` + ``lax.pmean``
+    instead of sharding annotations — the explicit-collectives twin of
+    make_train_step_guided. Guide scene + tables replicate via closure.
+    """
+    import functools as _ft
+
+    from jax import shard_map
+
+    from ..kernels import fused_march as _fm
+    from ..kernels import fused_window as _fw
+    from .mesh import DATA_AXIS
+
+    def loss_local(params, origins, dirs, targets):
+        ds = params_to_scene(params)
+        n_loc = dirs.shape[0]
+        cfg = RenderConfig(width=1, height=n_loc, enable_materials=False,
+                           enable_shadows=False)
+        _, aux = _fm.render_rays_fused(
+            guide_scene, guide_tables, origins, dirs, cfg,
+            interpret=interpret)
+        o = origins if origins.ndim == 2 else origins[None, :]
+        t_hit = jnp.linalg.norm(aux["hit_pos"] - o, axis=1)
+        seed = jax.lax.stop_gradient(
+            jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6))
+        rgb = _fw.render_window_fused(
+            ds, origins, dirs, num_steps=num_steps, sky=False, start_t=seed,
+            interpret=interpret, overflow=overflow)
+        return jnp.mean((rgb - targets) ** 2)
+
+    from jax.sharding import PartitionSpec as _P
+
+    @_ft.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_P(), _P(DATA_AXIS, None), _P(DATA_AXIS, None),
+                  _P(DATA_AXIS, None)),
+        out_specs=(_P(), _P()),
+        check_vma=False,
+    )
+    def _loss_grads(params, origins, dirs, targets):
+        loss, g = jax.value_and_grad(loss_local)(
+            params, origins, dirs, targets)
+        return (
+            jax.lax.pmean(loss, DATA_AXIS),
+            jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, DATA_AXIS), g),
+        )
+
+    def train_step(params, opt_state, origins, dirs, targets):
+        loss, grads = _loss_grads(params, origins, dirs, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def make_train_step(mesh: Mesh, optimizer, num_steps: int = 128):
     """Data-parallel training step: rays sharded, params replicated, gradient
     all-reduce inserted by XLA from the sharding annotations."""

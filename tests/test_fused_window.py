@@ -242,6 +242,58 @@ def test_fused_window_small_world_falls_back():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_fused_window_dp_matches_single_device():
+    """shard_map dp (rays sharded, field replicated) reproduces the
+    single-device fused window bit-for-bit, and the field gradient cotangent
+    is correctly psum'ed over the data axis (VERDICT r03 item 5).
+    num_steps=8: the 8-virtual-device SPMD partitioner's compile time
+    explodes super-linearly in the interpret-expanded kernel body
+    (S=8: 14 s, S=24: >9 min on CPU) — the dp machinery under test is
+    S-independent."""
+    import jax as _jax
+    from raytracing_test_tpu.parallel import mesh as meshlib
+
+    dscene = _world((64, 64, 64))
+    cam = Camera(
+        pos=jnp.asarray([16.0, 30.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.4, -0.6, 0.5], jnp.float32),
+    )
+    H, W = 16, 64
+    dirs = ray_directions(cam, W, H)
+    seed = jnp.zeros(H * W, jnp.float32)
+    mesh = meshlib.make_mesh(len(_jax.devices()), 1)
+
+    single = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=8, start_t=seed, sky=False,
+            interpret=True, image_hw=(H, W),
+        )
+    )(dscene)
+    dp = jax.jit(
+        lambda s: fw.render_window_fused_dp(
+            s, cam.pos, dirs, mesh, num_steps=8, start_t=seed, sky=False,
+            interpret=True, image_hw=(H, W),
+        )
+    )(dscene)
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(single))
+
+    g_single = _grads(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=8, start_t=seed, sky=False,
+            interpret=True, image_hw=(H, W),
+        ),
+        dscene,
+    )
+    g_dp = _grads(
+        lambda s: fw.render_window_fused_dp(
+            s, cam.pos, dirs, mesh, num_steps=8, start_t=seed, sky=False,
+            interpret=True, image_hw=(H, W),
+        ),
+        dscene,
+    )
+    _assert_grads_close(g_dp, g_single, 1e-5, "dp")
+
+
 def test_guided_accum_fused_end_to_end():
     """render_rays_diff_guided(accum='fused') composes the hard seed pass
     with the fused window and matches the dedup-accumulated guided render."""
@@ -267,7 +319,8 @@ def test_guided_accum_fused_end_to_end():
 
     got = np.asarray(jax.jit(lambda s=dscene: render("fused"))())
     ref = np.asarray(render("dedup"))
-    np.testing.assert_allclose(got, ref, atol=5e-5)
+    # the dedup anchor's own noise contract is ~1e-4 (ops/scatter.py)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
 
     g_got = _grads(
         lambda s: diff.render_rays_diff_guided(

@@ -149,3 +149,47 @@ def test_scaling_harness_runs(world):
     assert set(rates) == {1, 2} and all(v > 0 for v in rates.values())
     eff = scaling.efficiency(rates)
     assert eff[1] == 1.0 and eff[2] > 0
+
+
+def test_fused_train_step_dp_matches_single_device():
+    """make_train_step_fused (shard_map + explicit pmean over the Pallas
+    engines) produces the same loss and parameter update on an 8-way dp mesh
+    as on a 1-device mesh (VERDICT r03 item 5)."""
+    import optax
+    from raytracing_test_tpu.config import WorldConfig
+    from raytracing_test_tpu.core import flatten
+    from raytracing_test_tpu.kernels import fused_march as fm
+    from raytracing_test_tpu.parallel import mesh as meshlib, sharding
+    from raytracing_test_tpu.worldgen import terrain
+
+    wcfg = WorldConfig(width=24, length=48, grid_shape=(32, 32, 64))
+    grid, pal = terrain.gen_world_grid(wcfg)
+    guide = flatten.scene_from_grid(grid, pal)
+    ft = fm.tables_for_scene(guide)
+    params = sharding.init_params((32, 32, 64))
+    optimizer = optax.adam(1e-2)
+
+    rng = np.random.default_rng(3)
+    N = 16 * len(jax.devices())
+    origins = jnp.asarray(
+        np.full((N, 3), 12.0, np.float32)
+        + rng.normal(0, 2, (N, 3)).astype(np.float32))
+    dirs = rng.normal(size=(N, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    targets = jnp.full((N, 3), 0.25, jnp.float32)
+
+    outs = {}
+    for n in (1, len(jax.devices())):
+        mesh = meshlib.make_mesh(n, 1)
+        step = sharding.make_train_step_fused(
+            mesh, optimizer, guide, ft, num_steps=8, interpret=True)
+        opt_state = optimizer.init(params)
+        with mesh:
+            p, o, loss = jax.jit(step)(params, opt_state, origins, dirs,
+                                       targets)
+        outs[n] = (float(loss), np.asarray(p.density_raw))
+    l1, d1 = outs[1]
+    ln, dn = outs[len(jax.devices())]
+    assert np.isfinite(l1) and abs(l1 - ln) < 1e-6, (l1, ln)
+    np.testing.assert_allclose(dn, d1, atol=1e-6)
