@@ -6,9 +6,9 @@ world on one chip. VERDICT r02 weak #1: a bench that prefers untimed code can
 silently regress — so this one MEASURES every candidate path and reports the
 best of each axis:
 
-  - fwd+bwd: guided window (render/diff.py) with each accumulator VJP
-    (dedup / splat / scatter) over the fastest available seed engine
-    (fused kernel -> fast+progressive fallback);
+  - fwd+bwd: the fused window kernel pair (kernels/fused_window.py) and the
+    XLA window accumulators (dedup / scatter) over the fastest available
+    seed engine (fused kernel -> fast+progressive fallback);
   - fwd-only full-feature: fused kernel (kernels/fused_march.py),
     fast+progressive (XLA), bricks-pallas (r02) — losers' numbers included in
     the metric string.
@@ -126,10 +126,24 @@ def main():
     except Exception as e:
         print(f"# fused tables unavailable: {e}", file=sys.stderr)
 
+    rcfg_c = RenderConfig(width=W // 4, height=H // 4,
+                          enable_materials=False, enable_shadows=False)
+    cdirs = jnp.asarray(
+        np.asarray(dirs).reshape(H, W, 3)[2::4, 2::4].reshape(-1, 3))
+
     def seed_fused(t):
+        # coarse-to-fine on the fused kernel itself (the reference's C11
+        # progressive scheme): a 1/4-res fused depth pass seeds the full-res
+        # march — measured 225 -> 156 ms at 1024^2 (VERIFY_r04)
+        _, caux = fm.render_rays_fused(
+            scene, ft, cam.pos, cdirs * (1.0 + 1e-6 * t), rcfg_c,
+            image_hw=(H // 4, W // 4))
+        ct = jnp.linalg.norm(caux["hit_pos"] - cam.pos[None, :], axis=1)
+        depth = jnp.where(caux["hit"], ct, 1e6).reshape(H // 4, W // 4)
+        st = progressive.seed_from_depth(depth, 4, H, W)
         _, aux = fm.render_rays_fused(
             scene, ft, cam.pos, dirs * (1.0 + 1e-6 * t), rcfg_nm,
-            image_hw=(H, W))
+            image_hw=(H, W), start_t=st)
         t_hit = jnp.linalg.norm(aux["hit_pos"] - cam.pos[None, :], axis=1)
         return jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)
 
@@ -158,9 +172,26 @@ def main():
     # ---- fwd+bwd candidates: window accumulators over the best seed
     rays_fb, accum_used = 0.0, "none"
     if seed_fn is not None:
-        for accum, emode in (("splat-pallas", "vec"), ("dedup", "vec"),
-                             ("dedup", "scan"), ("scatter", "vec")):
-            def loss(ds, t, _a=accum, _e=emode):
+        from raytracing_test_tpu.kernels import fused_window as fwin
+
+        def _fused_window(ds, t):
+            # the r04 Pallas window pair (kernels/fused_window.py): in-VMEM
+            # fetch + in-kernel gradient merge; escapes (0.45% at this
+            # camera) fall back exactly to the XLA dedup path (budget 1/64)
+            seed = jax.lax.stop_gradient(seed_fn(t))
+            return jnp.mean(fwin.render_window_fused(
+                ds, cam.pos, dirs * (1.0 + 1e-6 * t), num_steps=NUM_STEPS,
+                sky=False, start_t=seed, image_hw=(H, W),
+                overflow="compact", escape_div=64))
+
+        cands_fb = [("fused-window", "kernel", _fused_window)] + [
+            (a, e, None) for a, e in (
+                ("dedup", "vec"), ("dedup", "scan"), ("scatter", "vec"))
+        ]
+        for accum, emode, special in cands_fb:
+            def loss(ds, t, _a=accum, _e=emode, _s=special):
+                if _s is not None:
+                    return _s(ds, t)
                 seed = jax.lax.stop_gradient(seed_fn(t))
                 rgb = diff.render_rays_diff_window(
                     ds, cam.pos, dirs * (1.0 + 1e-6 * t), num_steps=NUM_STEPS,

@@ -8,14 +8,18 @@ Run one stage at a time:  python scripts/verify_r4.py <stage>
   1: fused-window PARITY on the chip: fused window vs XLA window (scatter
      accumulator) at 256^2 x 24 with guided seeds; forward rgb diff, field
      gradient diff, escape fraction.
-  2: fused-window PERF at 1024^2 x 24 (precomputed fused seed): fwd-only and
-     fwd+bwd wall times — the numbers that replace VERIFY_r03 s3/s5
-     (dedup/vec 1379 ms, fwd 414 ms). VERDICT r03 item 1 done-bar: window
-     fwd+bwd composed with the seed >= 2e6 rays/s.
+  2: fused-window PERF at 1024^2 x 24 (precomputed fused seed), KERNEL-ONLY
+     (fallback=False): fwd-only and fwd+bwd wall times — the numbers that
+     replace VERIFY_r03 s3/s5 (dedup/vec 1379 ms, fwd 414 ms).
   3: same-session comparison rows: dedup/vec window fwd+bwd and window fwd
      (scatter/vec) at 1024^2 x 24 — tunnel-variance-matched baselines.
   4: end-to-end headline composition (what bench.py measures): grad of the
-     guided fused-window render incl. the fused seed pass, 1024^2.
+     guided fused-window render incl. the fused seed pass, 1024^2,
+     overflow="compact" escape_div=64.
+  5: field-gradient parity of the fused window (compact fallback) vs the
+     XLA scatter anchor at 1024^2 x 24.
+  6: fused-window fwd+bwd WITH the escape fallback (the bench path; also
+     warms the persistent compile cache for the driver's bench run).
 """
 
 import os
@@ -101,6 +105,31 @@ def main():
         return jnp.asarray(np.asarray(
             jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)))
 
+    def fused_seed_graph(t, H, W, dirs, ft, coarse=True):
+        """The bench's seed graph: coarse-to-fine fused depth -> guided seed."""
+        from raytracing_test_tpu.render import progressive
+
+        rcfg_nm = RenderConfig(width=W, height=H, enable_materials=False,
+                               enable_shadows=False)
+        st = None
+        if coarse:
+            rcfg_c = RenderConfig(width=W // 4, height=H // 4,
+                                  enable_materials=False,
+                                  enable_shadows=False)
+            cdirs = jnp.asarray(
+                np.asarray(dirs).reshape(H, W, 3)[2::4, 2::4].reshape(-1, 3))
+            _, caux = fm.render_rays_fused(
+                scene, ft, cam.pos, cdirs * (1 + 1e-6 * t), rcfg_c,
+                interpret=False, image_hw=(H // 4, W // 4))
+            ct = jnp.linalg.norm(caux["hit_pos"] - cam.pos[None, :], axis=1)
+            depth = jnp.where(caux["hit"], ct, 1e6).reshape(H // 4, W // 4)
+            st = progressive.seed_from_depth(depth, 4, H, W)
+        _, aux = fm.render_rays_fused(
+            scene, ft, cam.pos, dirs * (1 + 1e-6 * t), rcfg_nm,
+            interpret=False, image_hw=(H, W), start_t=st)
+        t_hit = jnp.linalg.norm(aux["hit_pos"] - cam.pos[None, :], axis=1)
+        return jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)
+
     if 0 in stages:
         alarm(560)
         try:
@@ -178,7 +207,8 @@ def main():
 
             g_f = gtree(lambda s: fw.render_window_fused(
                 s, cam.pos, dirs, num_steps=S, start_t=seed, sky=False,
-                interpret=False, image_hw=(H, W)))
+                interpret=False, image_hw=(H, W), overflow="compact",
+                escape_div=64))
             g_r = gtree(lambda s: diff.render_rays_diff_window(
                 s, cam.pos, dirs, num_steps=S, start_t=seed, sky=False,
                 accum="scatter"))
@@ -205,9 +235,10 @@ def main():
                 return fw.render_window_fused(
                     dscene, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
                     start_t=seed, sky=False, interpret=False,
-                    image_hw=(H, W)).sum()
+                    image_hw=(H, W), fallback=False).sum()
 
-            dt = bench("s2 fused-window FWD 1024^2x24", jax.jit(fwd))
+            dt = bench("s2 fused-window FWD kernel-only 1024^2x24",
+                       jax.jit(fwd))
             log(f"s2 -> fused-window fwd {dt*1e3:.1f} ms "
                 f"(r03 XLA vec fwd: 414 ms; bar <= 150)")
 
@@ -215,14 +246,43 @@ def main():
                 gr = jax.grad(lambda s: fw.render_window_fused(
                     s, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
                     start_t=seed, sky=False, interpret=False,
-                    image_hw=(H, W)).mean())(dscene)
+                    image_hw=(H, W), fallback=False).mean())(dscene)
                 return jax.tree_util.tree_reduce(
                     lambda a, x: a + x.sum(), gr, 0.0)
 
-            dt = bench("s2 fused-window FWD+BWD 1024^2x24", jax.jit(fb))
+            dt = bench("s2 fused-window FWD+BWD kernel-only 1024^2x24",
+                       jax.jit(fb))
             log(f"s2 -> fused-window fwd+bwd {dt*1e3:.1f} ms = "
                 f"{H*W/dt:.3e} rays/s window-only "
                 f"(r03 dedup/vec: 1379 ms = 7.6e5)")
+        except SystemExit:
+            raise
+        except Exception as e:
+            log(f"s2 FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    if 6 in stages:
+        # the bench path: fwd+bwd WITH the escape fallback branches (one big
+        # program; compile once here so the driver's bench hits the cache)
+        alarm(560)
+        try:
+            H = W = 1024
+            S = 24
+            dirs = ray_directions(cam, W, H)
+            seed = guided_seed(H, W, dirs)
+
+            def fb(t):
+                gr = jax.grad(lambda s: fw.render_window_fused(
+                    s, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
+                    start_t=seed, sky=False, interpret=False,
+                    image_hw=(H, W), overflow="compact",
+                    escape_div=64).mean())(dscene)
+                return jax.tree_util.tree_reduce(
+                    lambda a, x: a + x.sum(), gr, 0.0)
+
+            dt = bench("s6 fused-window FWD+BWD with-fallback 1024^2x24",
+                       jax.jit(fb))
+            log(f"s6 -> fused-window fwd+bwd+fallback {dt*1e3:.1f} ms = "
+                f"{H*W/dt:.3e} rays/s window-only")
         except SystemExit:
             raise
         except Exception as e:
@@ -271,17 +331,13 @@ def main():
                                    enable_shadows=False)
 
             def headline(t):
-                _, aux = fm.render_rays_fused(
-                    scene, ft, cam.pos, dirs * (1 + 1e-6 * t), rcfg_nm,
-                    interpret=False, image_hw=(H, W))
-                t_hit = jnp.linalg.norm(aux["hit_pos"] - cam.pos[None, :],
-                                        axis=1)
-                seed = jax.lax.stop_gradient(jnp.where(
-                    aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6))
+                seed = jax.lax.stop_gradient(
+                    fused_seed_graph(t, H, W, dirs, ft))
                 gr = jax.grad(lambda s: fw.render_window_fused(
                     s, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
                     start_t=seed, sky=False, interpret=False,
-                    image_hw=(H, W)).mean())(dscene)
+                    image_hw=(H, W), overflow="compact",
+                    escape_div=64).mean())(dscene)
                 return jax.tree_util.tree_reduce(
                     lambda a, x: a + x.sum(), gr, 0.0)
 
