@@ -221,6 +221,22 @@ def main():
             scene, ft, cam.pos, dirs * (1.0 + 1e-6 * t), rcfg,
             image_hw=(H, W))[0].sum()))
 
+        def fwd_fused_coarse(t):
+            # progressive seeding on the fused kernel (C11's scheme):
+            # measured 443 -> 356 ms at 1024^2 full-feature (VERIFY_r04)
+            _, caux = fm.render_rays_fused(
+                scene, ft, cam.pos, cdirs * (1.0 + 1e-6 * t), rcfg_c,
+                image_hw=(H // 4, W // 4))
+            ct = jnp.linalg.norm(caux["hit_pos"] - cam.pos[None, :], axis=1)
+            st = progressive.seed_from_depth(
+                jnp.where(caux["hit"], ct, 1e6).reshape(H // 4, W // 4),
+                4, H, W)
+            return fm.render_rays_fused(
+                scene, ft, cam.pos, dirs * (1.0 + 1e-6 * t), rcfg,
+                image_hw=(H, W), start_t=st)[0].sum()
+
+        cands.append(("fused+coarse", fwd_fused_coarse))
+
     def fwd_fastprog(t):
         depth = progressive.coarse_depth(scene, cam, rcfg, 4)
         seeds = progressive.seed_from_depth(depth, 4, H, W)

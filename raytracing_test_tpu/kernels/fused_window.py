@@ -629,10 +629,21 @@ def render_window_fused(
     t2 = (hi[None, :] - origin) * delta
     t_entry = jnp.max(jnp.minimum(t1, t2), axis=1)
     t0 = jnp.maximum(t_entry - 1e-3, 0.0)
+    dead = None
     if start_t is not None:
-        t0 = jnp.maximum(t0, jax.lax.stop_gradient(jnp.asarray(start_t, f32)))
+        st = jax.lax.stop_gradient(jnp.asarray(start_t, f32))
+        t0 = jnp.maximum(t0, st)
+        from ..render.diff import MISS_SEED_MIN
+
+        dead = st >= MISS_SEED_MIN
     origin_b = origin + t0[:, None] * d
     cell = jnp.floor(origin_b).astype(jnp.int32)
+    if dead is not None:
+        # miss-sentinel rays render pure sky (shared r04 semantics with the
+        # XLA window, render/diff.py MISS_SEED_MIN): park at wrapped cell
+        # 1023 so every sample is outside the window — this also removes the
+        # wrapped-sky-ray escapes (most of the 0.45% at the bench camera)
+        cell = jnp.where(dead[:, None], 1023, cell)
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
     istep = step.astype(jnp.int32)
 

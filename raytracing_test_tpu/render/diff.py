@@ -39,6 +39,12 @@ from ..config import RenderConfig
 from .camera import Camera, ray_directions
 from .renderer import _argmin_axis, _build_ray, _init_tmax, _onehot, _get, skybox
 
+# Guided seeds at/above this value are the "no surface" sentinel (the guided
+# path seeds misses with 1e6): window renders treat such rays as pure sky —
+# matching the hard renderers — instead of compositing the &1023-wrapped
+# cells a t=1e6 window lands on (r04 semantics fix).
+MISS_SEED_MIN = 9.9e5
+
 
 class DiffScene(NamedTuple):
     """Continuous voxel fields over the grid window (origin-anchored)."""
@@ -365,10 +371,21 @@ def render_rays_diff_window(
     t2 = (hi[None, :] - origin_b) * delta
     t_entry = jnp.max(jnp.minimum(t1, t2), axis=1)
     t0 = jnp.maximum(t_entry - 1e-3, 0.0)
+    dead = None
     if start_t is not None:
-        t0 = jnp.maximum(t0, jax.lax.stop_gradient(jnp.asarray(start_t, f32)))
+        st = jax.lax.stop_gradient(jnp.asarray(start_t, f32))
+        t0 = jnp.maximum(t0, st)
+        # miss-sentinel seeds (the guided convention, >= ~1e6) mean "no
+        # surface": render pure sky like the hard renderers instead of
+        # compositing the &1023-wrapped cells a t=1e6 window lands on
+        # (MISS_SEED_MIN; r04 semantics fix, shared with the fused engine)
+        dead = st >= MISS_SEED_MIN
     origin_b = origin_b + t0[:, None] * d
     cell = jnp.floor(origin_b).astype(jnp.int32)
+    if dead is not None:
+        # park dead rays at cell 1023: wraps to 1023 (outside any window
+        # with S* <= ~1000), and <= S window steps cannot re-enter
+        cell = jnp.where(dead[:, None], 1023, cell)
     tmax = _init_tmax(origin_b, cell, step, delta, abs_delta)
 
     enum_fn = _enumerate_window_vec if enumerate_mode == "vec" else _enumerate_window
