@@ -212,6 +212,34 @@ def main():
                 print(f"# fwd+bwd {accum}/{emode} failed: {type(e).__name__} {e}",
                       file=sys.stderr)
 
+        # escape observability (VERDICT r04 weak #2): one kernel-only forward
+        # with aux — n_escaped vs the compact budget the headline ran with
+        try:
+            def esc_probe(t):
+                seed = jax.lax.stop_gradient(seed_fn(t))
+                _, waux = fwin.render_window_fused(
+                    dscene, cam.pos, dirs * (1.0 + 1e-6 * t),
+                    num_steps=NUM_STEPS, sky=False, start_t=seed,
+                    image_hw=(H, W), fallback=False, return_aux=True)
+                return waux["n_escaped"]
+
+            _arm(420)
+            try:
+                n_esc = int(np.asarray(jax.jit(esc_probe)(jnp.float32(0))))
+            finally:
+                signal.alarm(0)
+            cap = (H * W) // 64  # the headline's escape_div=64 budget
+            msg = f"escapes: {n_esc}/{H*W} (compact budget {cap})"
+            notes.append(msg)
+            if n_esc > cap:
+                print(f"# ESCAPE OVERFLOW: {msg} — field gradients dropped "
+                      "past the budget", file=sys.stderr)
+            else:
+                print(f"# {msg}", file=sys.stderr)
+        except Exception as e:
+            print(f"# escape probe failed: {type(e).__name__} {e}",
+                  file=sys.stderr)
+
     # ---- fwd-only full-feature candidates
     rcfg = RenderConfig(width=W, height=H)
     rays_f, fwd_used = 0.0, "none"

@@ -124,7 +124,7 @@ def cmd_fit(args) -> None:
     s = _mk_session(args)
     fcfg = FitConfig(
         views=args.views, steps=args.steps, lr=args.lr, resolution=args.fit_res,
-        guided=args.guided,
+        guided=args.guided, engine=args.engine, shading=args.shading,
     )
     params, losses = fitmod.fit_world(
         s.scene, s.grid.shape, fcfg, ckpt_path=args.ckpt, batch=args.batch
@@ -202,6 +202,15 @@ def main(argv=None) -> None:
     f.add_argument(
         "--guided", action="store_true",
         help="surface-guided sampling with occupancy re-thresholding",
+    )
+    f.add_argument(
+        "--engine", default="", choices=["", "fused"],
+        help="training engine: '' = XLA steps, 'fused' = the Pallas engine "
+        "pair (fused march seed + fused window render/accumulate)",
+    )
+    f.add_argument(
+        "--shading", action="store_true",
+        help="fit face-shaded targets (matches the hard renderer's output)",
     )
     f.add_argument("--out", default="")
     f.set_defaults(fn=cmd_fit)

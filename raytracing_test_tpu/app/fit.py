@@ -85,31 +85,57 @@ def fit_world(
     params = jax.device_put(shardlib.init_params(grid_shape), rep)
     optimizer = optax.adam(fcfg.lr)
     opt_state = jax.device_put(optimizer.init(params), rep)
-    if fcfg.guided:
+    fused = fcfg.engine == "fused"
+    step_fn = None
+    if fused:
+        pass  # built lazily at the first re-threshold (needs a guide)
+    elif fcfg.guided:
         step_fn = shardlib.make_train_step_guided(
-            mesh, optimizer, num_steps=fcfg.guided_steps
+            mesh, optimizer, num_steps=fcfg.guided_steps,
+            shading=fcfg.shading,
         )
     else:
         step_fn = shardlib.make_train_step(mesh, optimizer, num_steps=96)
     guide = None
+    tables = None
 
     rng = np.random.default_rng(seed)
     # batch must divide evenly over devices
     ndev = mesh.devices.size
     batch = (batch // ndev) * ndev
     losses = []
+    rethresh = fcfg.guided or fused
     for step in range(fcfg.steps):
-        if fcfg.guided and (guide is None or step % fcfg.rethreshold_every == 0):
+        if rethresh and (guide is None or step % fcfg.rethreshold_every == 0):
             # occupancy re-thresholding: rebuild the guide from the current
             # density so guided sampling tracks the evolving field
             guide = jax.device_put(
                 shardlib.guide_scene_from_params(params, tau=fcfg.guide_tau), rep
             )
+            if fused:
+                from ..kernels import fused_march as fmk
+
+                tables = fmk.tables_for_scene(guide)
+                if step_fn is None:
+                    # the fused dp step (shard_map + Pallas engine pair);
+                    # later guides pass through as traced arrays
+                    step_fn = shardlib.make_train_step_fused(
+                        mesh, optimizer, guide, tables,
+                        num_steps=fcfg.guided_steps, shading=fcfg.shading,
+                    )
         idx = rng.integers(0, N, batch)
         o = jax.device_put(origins[idx], rs)
         d = jax.device_put(dirs[idx], rs)
         t = jax.device_put(targets[idx], rs)
-        if fcfg.guided:
+        if fused:
+            params, opt_state, loss, aux = step_fn(
+                params, opt_state, o, d, t, guide=guide, tables=tables)
+            if bool(aux["grads_dropped"]):
+                debug(0, f"fit step {step}: escape budget exceeded "
+                         f"({int(aux['n_escaped'])} escaped rays) — field "
+                         "gradients dropped for the overflow; raise "
+                         "escape_div headroom or re-threshold more often")
+        elif fcfg.guided:
             params, opt_state, loss = step_fn(params, opt_state, guide, o, d, t)
         else:
             params, opt_state, loss = step_fn(params, opt_state, o, d, t)

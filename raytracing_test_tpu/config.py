@@ -83,6 +83,13 @@ class FitConfig:
     rethreshold_every: int = 50
     guide_tau: float = 1.0
     guided_steps: int = 24  # volumetric window length when guided
+    # training engine: "" = the annotation-sharded XLA steps (guided flag
+    # picks windowed vs blind), "fused" = the Pallas engine pair (fused
+    # march seeds + fused window renders/accumulates — the headline step,
+    # parallel/sharding.make_train_step_fused)
+    engine: str = ""
+    shading: bool = False  # fit face-shaded targets (the hard renderer's
+    # output IS face-shaded; shading=True matches the volumetric model to it)
 
 
 def world_for_size(n: int, height: int = 128) -> WorldConfig:

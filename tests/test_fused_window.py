@@ -335,3 +335,196 @@ def test_guided_accum_fused_end_to_end():
         dscene,
     )
     _assert_grads_close(g_got, g_ref, 2e-4)
+
+
+def test_fused_window_shading_matches_anchor():
+    """In-kernel face shading (r05): rgb + gradients match the XLA window
+    with shading=True (calcLightIntensity applied per entry axis)."""
+    dscene = _world()
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    dirs = ray_directions(cam, 12, 12)
+    seed = jnp.zeros(dirs.shape[0], jnp.float32)
+    got = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            shading=True,
+        )
+    )(dscene)
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="scatter",
+        shading=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g_got = _grads(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            interpret=True, shading=True,
+        ),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_window(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            accum="scatter", shading=True,
+        ),
+        dscene,
+    )
+    _assert_grads_close(g_got, g_ref, 1e-4)
+
+
+def test_fused_window_shadow_matches_anchor():
+    """shadow_steps>0 (r05): the XLA-side soft shadow factor driven by the
+    kernel's expected-hit-point planes matches the XLA window's."""
+    dscene = _world()
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    dirs = ray_directions(cam, 8, 8)
+    seed = jnp.zeros(dirs.shape[0], jnp.float32)
+    got = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            shading=True, shadow_steps=6, sky=False,
+        )
+    )(dscene)
+    ref = diff.render_rays_diff_window(
+        dscene, cam.pos, dirs, num_steps=24, start_t=seed, accum="scatter",
+        shading=True, shadow_steps=6, sky=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g_got = _grads(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            interpret=True, shading=True, shadow_steps=6,
+        ),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_window(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            accum="scatter", shading=True, shadow_steps=6,
+        ),
+        dscene,
+    )
+    _assert_grads_close(g_got, g_ref, 1e-4)
+
+
+def test_fused_window_pose_gradients():
+    """r05: the custom VJP returns real ray-geometry cotangents (through the
+    tmax/abs_delta planes), so gradients w.r.t. ray DIRECTIONS match the XLA
+    window's autodiff — the camera-pose fit path (BASELINE north star)."""
+    dscene = _world()
+    cam = Camera(
+        pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+    )
+    dirs = ray_directions(cam, 8, 8)
+    seed = jnp.zeros(dirs.shape[0], jnp.float32)
+
+    def loss_fused(d):
+        return jnp.mean(fw.render_window_fused(
+            dscene, cam.pos, d, num_steps=24, start_t=seed, sky=False,
+            interpret=True) ** 2)
+
+    def loss_ref(d):
+        return jnp.mean(diff.render_rays_diff_window(
+            dscene, cam.pos, d, num_steps=24, start_t=seed, sky=False,
+            accum="scatter") ** 2)
+
+    g_got = np.asarray(jax.jit(jax.grad(loss_fused))(dirs))
+    g_ref = np.asarray(jax.jit(jax.grad(loss_ref))(dirs))
+    sc = np.abs(g_ref).max() + 1e-12
+    np.testing.assert_allclose(g_got / sc, g_ref / sc, atol=2e-4)
+
+    # and w.r.t. a shared origin (through the same tmax cotangents)
+    def loss_fused_o(o):
+        return jnp.mean(fw.render_window_fused(
+            dscene, o, dirs, num_steps=24, start_t=seed, sky=False,
+            interpret=True) ** 2)
+
+    def loss_ref_o(o):
+        return jnp.mean(diff.render_rays_diff_window(
+            dscene, o, dirs, num_steps=24, start_t=seed, sky=False,
+            accum="scatter") ** 2)
+
+    go_got = np.asarray(jax.jit(jax.grad(loss_fused_o))(cam.pos))
+    go_ref = np.asarray(jax.jit(jax.grad(loss_ref_o))(cam.pos))
+    sco = np.abs(go_ref).max() + 1e-12
+    np.testing.assert_allclose(go_got / sco, go_ref / sco, atol=2e-4)
+
+
+def test_fused_window_overflow_observable():
+    """Escapes beyond the compact budget set aux['grads_dropped'] (VERDICT
+    r04 weak #2: the drop must be loud)."""
+    dscene = _world((64, 64, 64))
+    cam = Camera(
+        pos=jnp.asarray([4.0, 30.0, 4.0], jnp.float32),
+        dir=jnp.asarray([0.8, -0.3, 0.5], jnp.float32),
+    )
+    dirs = ray_directions(cam, 16, 16)
+    N = dirs.shape[0]
+    seed = jnp.where((jnp.arange(N) // 7) % 2 == 0, 0.0, 40.0).astype(
+        jnp.float32
+    )
+    _, aux = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            return_aux=True, escape_cap=16, overflow="compact",
+        )
+    )(dscene)
+    assert int(aux["n_escaped"]) > 16
+    assert bool(aux["grads_dropped"])
+    assert int(aux["escape_capacity"]) >= 16
+    # ample budget: not dropped
+    _, aux2 = jax.jit(
+        lambda s: fw.render_window_fused(
+            s, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            return_aux=True, overflow="compact",
+        )
+    )(dscene)
+    assert not bool(aux2["grads_dropped"])
+
+
+def test_fused_window_bypass_logging(capsys):
+    """Every silent-bypass path logs once (VERDICT r04 items: shape reject,
+    num_steps reject, strip-permutation divisibility fail)."""
+    import raytracing_test_tpu.utils.log as logmod
+
+    fw._WARNED.clear()
+    old = logmod.DEBUG_LEVEL
+    logmod.set_debug_level(1)
+    try:
+        dscene = _world()
+        cam = Camera(
+            pos=jnp.asarray([16.0, 20.0, 16.0], jnp.float32),
+            dir=jnp.asarray([0.3, -0.8, 0.4], jnp.float32),
+        )
+        dirs = ray_directions(cam, 8, 8)
+        seed = jnp.zeros(64, jnp.float32)
+        # num_steps not a multiple of the chunk size
+        fw.render_window_fused(
+            dscene, cam.pos, dirs, num_steps=23, start_t=seed, interpret=True
+        )
+        # small world
+        small = diff.DiffScene(
+            density=jnp.zeros((16, 16, 16), jnp.float32),
+            albedo=jnp.zeros((16, 16, 16, 3), jnp.float32),
+        )
+        fw.render_window_fused(
+            small, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True
+        )
+        # bad strip divisibility
+        fw.render_window_fused(
+            dscene, cam.pos, dirs, num_steps=24, start_t=seed, interpret=True,
+            image_hw=(4, 16),
+        )
+        err = capsys.readouterr().err
+        assert "not a multiple" in err
+        assert "unsupported" in err
+        assert "divisibility" in err
+    finally:
+        logmod.set_debug_level(old)

@@ -186,8 +186,9 @@ def test_fused_train_step_dp_matches_single_device():
             mesh, optimizer, guide, ft, num_steps=8, interpret=True)
         opt_state = optimizer.init(params)
         with mesh:
-            p, o, loss = jax.jit(step)(params, opt_state, origins, dirs,
-                                       targets)
+            p, o, loss, aux = step(params, opt_state, origins, dirs, targets)
+        assert int(aux["n_escaped"]) >= 0
+        assert not bool(aux["grads_dropped"])
         outs[n] = (float(loss), np.asarray(p.density_raw))
     l1, d1 = outs[1]
     ln, dn = outs[len(jax.devices())]
