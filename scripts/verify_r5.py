@@ -359,6 +359,13 @@ def main():
         H = W = 256
         dirs = ray_directions(cam, W, H)
         seed = guided_seed(H, W, dirs)
+        # pose grads are per-ray; escaped rays' kernel cotangents are zero
+        # BY CONTRACT with fallback=False (they flow via the fallback in
+        # real use) — compare non-escaped rays only
+        _, aux = jax.jit(lambda: fw.render_window_fused(
+            dscene, cam.pos, dirs, num_steps=24, start_t=seed, sky=False,
+            interpret=False, fallback=False, return_aux=True))()
+        keep = ~np.asarray(aux["escaped"])
 
         def gdirs(render):
             return np.asarray(jax.jit(jax.grad(
@@ -370,9 +377,13 @@ def main():
         g_r = gdirs(lambda d: diff.render_rays_diff_window(
             dscene, cam.pos, d, num_steps=24, start_t=seed, sky=False,
             accum="scatter"))
-        sc = np.abs(g_r).max() + 1e-12
-        log(f"s8 pose grad (d rgb/d dirs) rel max diff 256^2: "
-            f"{np.abs(g_f - g_r).max()/sc:.2e} (budget 2e-4)")
+        sc = np.abs(g_r[keep]).max() + 1e-12
+        diffm = np.abs(g_f - g_r).max(axis=1)
+        bad = (diffm[keep] / sc > 2e-4).mean()
+        log(f"s8 pose grad (d rgb/d dirs) 256^2, non-escaped "
+            f"({int(keep.sum())}/{keep.size}): rel max diff "
+            f"{diffm[keep].max()/sc:.2e}, bad-ray frac {bad:.5f} "
+            f"(escaped excluded: {int((~keep).sum())})")
 
     def s9():
         H = W = 1024

@@ -246,10 +246,10 @@ def test_fused_window_dp_matches_single_device():
     """shard_map dp (rays sharded, field replicated) reproduces the
     single-device fused window bit-for-bit, and the field gradient cotangent
     is correctly psum'ed over the data axis (VERDICT r03 item 5).
-    num_steps=8: the 8-virtual-device SPMD partitioner's compile time
-    explodes super-linearly in the interpret-expanded kernel body
-    (S=8: 14 s, S=24: >9 min on CPU) — the dp machinery under test is
-    S-independent."""
+    num_steps=4 (one chunk): the 8-virtual-device SPMD partitioner's
+    compile time explodes super-linearly in the interpret-expanded kernel
+    body (S=8 took ~2 h against the r05 kernel pair) — the dp machinery
+    under test is S-independent."""
     import jax as _jax
     from raytracing_test_tpu.parallel import mesh as meshlib
 
@@ -265,13 +265,13 @@ def test_fused_window_dp_matches_single_device():
 
     single = jax.jit(
         lambda s: fw.render_window_fused(
-            s, cam.pos, dirs, num_steps=8, start_t=seed, sky=False,
+            s, cam.pos, dirs, num_steps=4, start_t=seed, sky=False,
             interpret=True, image_hw=(H, W),
         )
     )(dscene)
     dp = jax.jit(
         lambda s: fw.render_window_fused_dp(
-            s, cam.pos, dirs, mesh, num_steps=8, start_t=seed, sky=False,
+            s, cam.pos, dirs, mesh, num_steps=4, start_t=seed, sky=False,
             interpret=True, image_hw=(H, W),
         )
     )(dscene)
@@ -279,14 +279,14 @@ def test_fused_window_dp_matches_single_device():
 
     g_single = _grads(
         lambda s: fw.render_window_fused(
-            s, cam.pos, dirs, num_steps=8, start_t=seed, sky=False,
+            s, cam.pos, dirs, num_steps=4, start_t=seed, sky=False,
             interpret=True, image_hw=(H, W),
         ),
         dscene,
     )
     g_dp = _grads(
         lambda s: fw.render_window_fused_dp(
-            s, cam.pos, dirs, mesh, num_steps=8, start_t=seed, sky=False,
+            s, cam.pos, dirs, mesh, num_steps=4, start_t=seed, sky=False,
             interpret=True, image_hw=(H, W),
         ),
         dscene,
