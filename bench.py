@@ -130,22 +130,15 @@ def main():
                           enable_materials=False, enable_shadows=False)
     cdirs = jnp.asarray(
         np.asarray(dirs).reshape(H, W, 3)[2::4, 2::4].reshape(-1, 3))
+    # (rcfg_c/cdirs also feed the fwd-only fused+coarse candidate below)
 
     def seed_fused(t):
         # coarse-to-fine on the fused kernel itself (the reference's C11
         # progressive scheme): a 1/4-res fused depth pass seeds the full-res
         # march — measured 225 -> 156 ms at 1024^2 (VERIFY_r04)
-        _, caux = fm.render_rays_fused(
-            scene, ft, cam.pos, cdirs * (1.0 + 1e-6 * t), rcfg_c,
-            image_hw=(H // 4, W // 4))
-        ct = jnp.linalg.norm(caux["hit_pos"] - cam.pos[None, :], axis=1)
-        depth = jnp.where(caux["hit"], ct, 1e6).reshape(H // 4, W // 4)
-        st = progressive.seed_from_depth(depth, 4, H, W)
-        _, aux = fm.render_rays_fused(
-            scene, ft, cam.pos, dirs * (1.0 + 1e-6 * t), rcfg_nm,
-            image_hw=(H, W), start_t=st)
-        t_hit = jnp.linalg.norm(aux["hit_pos"] - cam.pos[None, :], axis=1)
-        return jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)
+        return fm.seed_depth_fused(
+            scene, ft, cam.pos, dirs, (H, W), margin=3.0, prox=False,
+            time_jitter=t)
 
     def seed_fastprog(t):
         depth = progressive.coarse_depth(scene, cam, rcfg_nm, 4)
@@ -174,6 +167,12 @@ def main():
     if seed_fn is not None:
         from raytracing_test_tpu.kernels import fused_window as fwin
 
+        # NOT a candidate: the prox-stop pipeline (render_rays_guided_prox,
+        # seed 93 vs 155 ms) — at THIS camera 65% of rays stop mid-crust
+        # (first-surface-brick entry is ~40 crossings before the oblique
+        # hit) and the exact patch budget cannot absorb them; its rays/s
+        # would "win" while rendering those rays unsaturated. Measured and
+        # recorded in VERIFY_r05 s11 / SPEED_OF_LIGHT §4c.
         def _fused_window(ds, t):
             # the r04 Pallas window pair (kernels/fused_window.py): in-VMEM
             # fetch + in-kernel gradient merge; escapes (0.45% at this

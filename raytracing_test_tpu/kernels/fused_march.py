@@ -145,7 +145,7 @@ def _fused_kernel(
     omat0, omat, ocx, ocy, ocz, ola, orefl, oshad, ost,
     odx, ody, odz, osx, osy, osz, oox, ooy, ooz, olt, ocr, ocg, ocb, oit,
     *,
-    shape3, bgrid, air0, enable_materials, enable_shadows,
+    shape3, bgrid, air0, enable_materials, enable_shadows, prox_stop=False,
 ):
     Sx, Sy, Sz = shape3
     Bx, By, Bz = bgrid
@@ -272,7 +272,10 @@ def _fused_kernel(
             xe = jnp.zeros((R, _LANES), i32)
             ye = xe
             zr = jnp.where(airk, _zrun(kb, k, iez), 0)
-        return m, vr, d_pri, d_sh, cls == 1, xe, ye, zr
+        # prox-stop (r05 seed mode): the lane's voxel lies in a masked/multi
+        # SURFACE brick — derived from cls already in registers, zero VMEM
+        prox = (cls >= 2) & in_w if prox_stop else None
+        return m, vr, d_pri, d_sh, cls == 1, xe, ye, zr, prox
 
     def axis_count(t_m, t, a, n, is_exit):
         c = jnp.where(t_m >= t, jnp.floor((t_m - t) / a).astype(i32) + 1, 0)
@@ -449,13 +452,24 @@ def _fused_kernel(
                         jnp.where(ezp_ > 0, 1, -1))
         else:
             lic_dirs = None
-        m, vr, d_pri, d_sh, uni, xe, ye, zre = resolve(
+        m, vr, d_pri, d_sh, uni, xe, ye, zre, proxp = resolve(
             cx, cy, cz, ph < 2, lic_dirs)
 
         # ---- classification (primary: frag:317-328; shadow: frag:383-389)
         hit_p = in_pri & _word_bit(w_hit, m)
         evt = in_pri & _word_bit(w_evt, m)
-        mat = jnp.where(in_pri, m, mat)
+        if prox_stop:
+            # seed mode: settle at first ENTRY into a surface brick instead
+            # of chasing the exact in-brick hit — the 24-step guided window
+            # covers a whole 8^3-brick traversal (<= 22 axis crossings) from
+            # the entry crossing, and rays whose surface still lies beyond
+            # the window are patched exactly downstream (diff.py prox
+            # orchestration). Air voxels of the stop brick export a sentinel
+            # nonzero mat so aux['hit'] stays true for the seed consumer.
+            hit_p = hit_p | (in_pri & proxp)
+            mat = jnp.where(in_pri, jnp.where(proxp & (m == 0), 1, m), mat)
+        else:
+            mat = jnp.where(in_pri, m, mat)
         mat_sh = jnp.where(in_sh, m, mat_sh)
         hit_s = in_sh & _word_bit(w_shhit, m)
         ph = jnp.where(hit_s, 2, ph)
@@ -707,9 +721,12 @@ _OUT_DTYPES = (
 )
 
 
-def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, interpret):
+def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, interpret,
+                     prox_stop=False):
     """Run the fused kernel on a fast._init_state-style _March ``s``.
     Returns the dict of per-lane outputs (unpadded)."""
+    assert not (prox_stop and (cfg.enable_materials or cfg.enable_shadows)), (
+        "prox_stop is a seed-mode flag: lean kernel only")
     N = s.cell.shape[0]
     tile = _TILE_ROWS * _LANES
     n_pad = (-N) % tile
@@ -756,6 +773,7 @@ def fused_march_call(scene, ft: FusedTables, s, cfg: RenderConfig, time_s, inter
         air0=ft.air0,
         enable_materials=cfg.enable_materials,
         enable_shadows=cfg.enable_shadows,
+        prox_stop=prox_stop,
     )
     ray_spec = pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -808,6 +826,7 @@ def render_rays_fused(
     time_s=None,
     interpret=None,
     image_hw=None,
+    prox_stop=False,
 ):
     """Fused-kernel render of arbitrary rays -> (rgb [N,3], aux).
 
@@ -844,7 +863,8 @@ def render_rays_fused(
                 start_t = jnp.take(jnp.asarray(start_t, f32), perm)
 
     s = _fast._init_state(origin, dirs, jnp.ones(N, f32), start_t=start_t)
-    o = fused_march_call(scene, ft, s, cfg, time_s, interpret)
+    o = fused_march_call(scene, ft, s, cfg, time_s, interpret,
+                         prox_stop=prox_stop)
 
     mat0 = o["mat0"]
     flags0 = jnp.take(scene.flags, mat0)
@@ -880,6 +900,68 @@ def render_rays_fused(
         col = jnp.take(col, inv, axis=0)
         aux = {k: jnp.take(v, inv, axis=0) for k, v in aux.items()}
     return col, aux
+
+
+def seed_depth_fused(
+    scene: Scene,
+    ft: FusedTables,
+    origin,
+    dirs,
+    image_hw,
+    coarse_factor: int = 4,
+    margin: float = 3.0,
+    prox: bool = False,
+    time_jitter=None,
+    interpret=None,
+    max_steps: int = None,
+):
+    """Window-seed depths from the fused march (the C11 progressive scheme;
+    shared by bench.py, the verify harness, and the fused train step): a
+    1/coarse_factor-resolution march seeds a full-resolution march whose
+    first-solid depths become guided-window seeds (1e6 = sky sentinel,
+    consumed by render/diff.py MISS_SEED_MIN semantics).
+
+    ``prox`` (r05): both passes stop at first ENTRY into a surface brick
+    instead of fine-stepping to the exact in-brick hit — a 24-step window
+    covers a whole 8^3-brick traversal (<= 22 axis crossings) from the entry
+    crossing, so the march skips its most expensive phase; rays whose
+    surface still lies beyond the window (grazing rays) must be patched by
+    the caller (render/diff.py render_rays_guided_prox) — the window kernel
+    reports them via aux['w_sum']. Use a small ``margin`` (~0.5) with prox:
+    every world unit of margin spends up to ~3 window crossings.
+
+    ``time_jitter``: optional traced scalar mixed into the ray directions
+    (1 + 1e-6*t) — measurement hygiene for the memoizing tunnel backend.
+    """
+    from ..config import RenderConfig
+    from ..render import progressive
+
+    f32 = jnp.float32
+    H, W = image_hw
+    origin = jnp.asarray(origin, f32)
+    dirs = jnp.asarray(dirs, f32)
+    assert origin.ndim == 1, "seed_depth_fused: camera images share one origin"
+    if time_jitter is not None:
+        dirs = dirs * (1.0 + 1e-6 * time_jitter)
+    cf = coarse_factor
+    kw = {} if max_steps is None else {"max_steps": max_steps}
+    rc = RenderConfig(width=W // cf, height=H // cf,
+                      enable_materials=False, enable_shadows=False, **kw)
+    rn = RenderConfig(width=W, height=H,
+                      enable_materials=False, enable_shadows=False, **kw)
+    cdirs = dirs.reshape(H, W, 3)[cf // 2::cf, cf // 2::cf].reshape(-1, 3)
+    _, caux = render_rays_fused(
+        scene, ft, origin, cdirs, rc, interpret=interpret,
+        image_hw=(H // cf, W // cf), prox_stop=prox)
+    o = origin[None, :]
+    ct = jnp.linalg.norm(caux["hit_pos"] - o, axis=1)
+    depth = jnp.where(caux["hit"], ct, 1e6).reshape(H // cf, W // cf)
+    st = progressive.seed_from_depth(depth, cf, H, W)
+    _, aux = render_rays_fused(
+        scene, ft, origin, dirs, rn, interpret=interpret,
+        image_hw=(H, W), start_t=st, prox_stop=prox)
+    t_hit = jnp.linalg.norm(aux["hit_pos"] - o, axis=1)
+    return jnp.where(aux["hit"], jnp.maximum(t_hit - margin, 0.0), 1e6)
 
 
 def render_rays_fused_dp(

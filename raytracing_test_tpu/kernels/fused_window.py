@@ -836,8 +836,11 @@ def render_window_fused(
         )
         if return_aux:
             zi = jnp.zeros((), jnp.int32)
+            # w_sum=1: the XLA window is the exact accumulator of record;
+            # prox patch-up (render_rays_guided_prox) has nothing to fix here
             return rgb, {"escaped": jnp.zeros(N, bool), "n_escaped": zi,
                          "t_end": jnp.zeros(N, f32),
+                         "w_sum": jnp.ones(N, f32),
                          "escape_capacity": jnp.zeros((), jnp.int32),
                          "grads_dropped": jnp.zeros((), bool)}
         return rgb
@@ -1023,8 +1026,16 @@ def render_window_fused(
     if inv is not None:
         rgb = jnp.take(rgb, inv, axis=0)
     if return_aux:
+        # per-ray aux in NATURAL ray order (the kernel computes in strip
+        # order; callers index these against their own rays/seeds)
+        esc_n, tend_n, wsum_n = escaped, t_end, wsum.reshape(-1)[:N]
+        if inv is not None:
+            esc_n = jnp.take(esc_n, inv)
+            tend_n = jnp.take(tend_n, inv)
+            wsum_n = jnp.take(wsum_n, inv)
         return rgb, {
-            "escaped": escaped, "n_escaped": n_esc, "t_end": t_end,
+            "escaped": esc_n, "n_escaped": n_esc, "t_end": tend_n,
+            "w_sum": wsum_n,
             "escape_capacity": jnp.asarray(K8 * 8, jnp.int32),
             "grads_dropped": dropped,
         }

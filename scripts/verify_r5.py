@@ -23,6 +23,14 @@ raw crash lines.
   8: pose-gradient parity on-chip at 256^2 (grad w.r.t. dirs, fused vs
      scatter anchor).
   9: seed-pass (fused march) timing at 1024^2, coarse-seeded.
+ 10: margin experiment: window fwd / fwd+bwd kernel-only with margin=1.0
+     exact-hit seeds (tighter seeds -> earlier saturation -> more
+     early-out) vs s2's margin=3.0 numbers.
+ 11: prox-seed pass timing at 1024^2 + miss ("need"-patch) rates at the
+     bench camera and 2 oblique cameras (prox stops at surface-brick
+     ENTRY; grazes + escapes get the exact compacted patch).
+ 12: PROX HEADLINE end-to-end (render_rays_guided_prox fwd+bwd) + parity
+     spot-check vs the exact-seed pipeline at 512^2.
 """
 
 import os
@@ -120,7 +128,7 @@ def main():
         dir=jnp.asarray([0.55, -0.4, 0.55], jnp.float32),
     )
 
-    def guided_seed(H, W, dirs, c=cam):
+    def guided_seed(H, W, dirs, c=cam, margin=3.0):
         ft = fm.tables_for_scene(scene)
         rcfg_nm = RenderConfig(width=W, height=H, enable_materials=False,
                                enable_shadows=False)
@@ -129,28 +137,12 @@ def main():
             image_hw=(H, W)))()
         t_hit = jnp.linalg.norm(aux["hit_pos"] - c.pos[None, :], axis=1)
         return jnp.asarray(np.asarray(
-            jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)))
+            jnp.where(aux["hit"], jnp.maximum(t_hit - margin, 0.0), 1e6)))
 
     def fused_seed_graph(t, H, W, dirs, ft):
-        from raytracing_test_tpu.render import progressive
-
-        rcfg_nm = RenderConfig(width=W, height=H, enable_materials=False,
-                               enable_shadows=False)
-        rcfg_c = RenderConfig(width=W // 4, height=H // 4,
-                              enable_materials=False, enable_shadows=False)
-        cdirs = jnp.asarray(
-            np.asarray(dirs).reshape(H, W, 3)[2::4, 2::4].reshape(-1, 3))
-        _, caux = fm.render_rays_fused(
-            scene, ft, cam.pos, cdirs * (1 + 1e-6 * t), rcfg_c,
-            interpret=False, image_hw=(H // 4, W // 4))
-        ct = jnp.linalg.norm(caux["hit_pos"] - cam.pos[None, :], axis=1)
-        depth = jnp.where(caux["hit"], ct, 1e6).reshape(H // 4, W // 4)
-        st = progressive.seed_from_depth(depth, 4, H, W)
-        _, aux = fm.render_rays_fused(
-            scene, ft, cam.pos, dirs * (1 + 1e-6 * t), rcfg_nm,
-            interpret=False, image_hw=(H, W), start_t=st)
-        t_hit = jnp.linalg.norm(aux["hit_pos"] - cam.pos[None, :], axis=1)
-        return jnp.where(aux["hit"], jnp.maximum(t_hit - 3.0, 0.0), 1e6)
+        return fm.seed_depth_fused(
+            scene, ft, cam.pos, dirs, (H, W), margin=3.0, prox=False,
+            time_jitter=t, interpret=False)
 
     def s0():
         H, W = 8, 128
@@ -397,8 +389,112 @@ def main():
                    jax.jit(seedf))
         log(f"s9 -> seed pass {dt*1e3:.1f} ms (r04: 156)")
 
+    def s10():
+        H = W = 1024
+        S = 24
+        dirs = ray_directions(cam, W, H)
+        seed = guided_seed(H, W, dirs, margin=1.0)
+
+        def fwd(t):
+            return fw.render_window_fused(
+                dscene, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
+                start_t=seed, sky=False, interpret=False,
+                image_hw=(H, W), fallback=False).sum()
+
+        dt = bench("s10 window FWD kernel-only, margin=1.0 seeds", jax.jit(fwd))
+        log(f"s10 -> fwd {dt*1e3:.1f} ms (margin=3.0 ref: s2 ~151-160)")
+
+        def fb(t):
+            gr = jax.grad(lambda s: fw.render_window_fused(
+                s, cam.pos, dirs * (1 + 1e-6 * t), num_steps=S,
+                start_t=seed, sky=False, interpret=False,
+                image_hw=(H, W), fallback=False).mean())(dscene)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + x.sum(), gr, 0.0)
+
+        dt = bench("s10 window FWD+BWD kernel-only, margin=1.0 seeds",
+                   jax.jit(fb))
+        log(f"s10 -> fwd+bwd {dt*1e3:.1f} ms (margin=3.0 ref: s2 ~296-331)")
+
+    def s11():
+        H = W = 1024
+        dirs = ray_directions(cam, W, H)
+        ft = fm.tables_for_scene(scene)
+
+        def seedp(t):
+            return fm.seed_depth_fused(
+                scene, ft, cam.pos, dirs, (H, W), margin=0.5, prox=True,
+                time_jitter=t, interpret=False).sum()
+
+        dt = bench("s11 PROX seed pass 1024^2", jax.jit(seedp))
+        log(f"s11 -> prox seed {dt*1e3:.1f} ms (exact-hit seed: s9 ~155)")
+
+        # miss ("need") rates: bench camera + 2 obliques at 512^2
+        H2 = W2 = 512
+        cams = [cam,
+                Camera(pos=jnp.asarray([200.0, 45.0, 200.0], jnp.float32),
+                       dir=jnp.asarray([-0.6, -0.25, -0.6], jnp.float32)),
+                Camera(pos=jnp.asarray([30.0, 40.0, 30.0], jnp.float32),
+                       dir=jnp.asarray([0.7, -0.1, 0.7], jnp.float32))]
+        for i, c in enumerate(cams):
+            d2 = ray_directions(c, W2, H2)
+
+            def needf(c=c, d2=d2):
+                seed = fm.seed_depth_fused(
+                    scene, ft, c.pos, d2, (H2, W2), margin=0.5, prox=True,
+                    interpret=False)
+                _, waux = fw.render_window_fused(
+                    dscene, c.pos, d2, num_steps=24, start_t=seed,
+                    sky=False, interpret=False, image_hw=(H2, W2),
+                    fallback=False, return_aux=True)
+                from raytracing_test_tpu.render.diff import MISS_SEED_MIN
+                dead = seed >= MISS_SEED_MIN
+                need = (waux["escaped"] | (waux["t_end"] > 1e-3)) & ~dead
+                return need.sum(), waux["n_escaped"]
+
+            n, ne = jax.jit(needf)()
+            n, ne = int(n), int(ne)
+            log(f"s11 cam{i} need {n}/{H2*W2} ({n/(H2*W2):.4f}) "
+                f"[escaped {ne}; patch budget N/64 = {H2*W2//64}]")
+
+    def s12():
+        from raytracing_test_tpu.render.diff import render_rays_guided_prox
+
+        H = W = 1024
+        S = 24
+        dirs = ray_directions(cam, W, H)
+        ft = fm.tables_for_scene(scene)
+
+        def headline(t):
+            gr = jax.grad(lambda s: jnp.mean(render_rays_guided_prox(
+                s, scene, ft, cam.pos, dirs * (1 + 1e-6 * t), (H, W),
+                num_steps=S, margin=0.5, patch_div=64,
+                interpret=False)))(dscene)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + x.sum(), gr, 0.0)
+
+        dt = bench("s12 PROX HEADLINE fwd+bwd 1024^2", jax.jit(headline))
+        log(f"s12 -> {H*W/dt:.3e} rays/s end-to-end fwd+bwd "
+            f"(s3 exact-seed: 2.121e6; r05 bar >= 2.5e6)")
+
+        # parity spot check vs the exact-seed pipeline at 512^2
+        H2 = W2 = 512
+        d2 = ray_directions(cam, W2, H2)
+        got, paux = jax.jit(lambda: render_rays_guided_prox(
+            dscene, scene, ft, cam.pos, d2, (H2, W2), num_steps=S,
+            margin=0.5, patch_div=64, interpret=False, return_aux=True))()
+        s2_ = guided_seed(H2, W2, d2)
+        ref = np.asarray(jax.jit(lambda: diff.render_rays_diff_window(
+            dscene, cam.pos, d2, num_steps=S, start_t=s2_, sky=False,
+            accum="scatter"))())
+        dd = np.abs(np.asarray(got) - ref).max(axis=1)
+        log(f"s12 prox parity 512^2 vs exact-seed anchor: max {dd.max():.2e}, "
+            f"bad frac {(dd > 2e-3).mean():.5f}; need {int(paux['n_need'])}, "
+            f"escaped {int(paux['n_escaped'])}, dropped "
+            f"{bool(paux['grads_dropped'])}")
+
     table = {0: s0, 1: s1, 2: s2, 3: s3, 4: s4, 5: s5, 6: s6, 7: s7,
-             8: s8, 9: s9}
+             8: s8, 9: s9, 10: s10, 11: s11, 12: s12}
     for st in stages:
         run_stage(f"s{st}", table[st])
     log("== verify_r5 done")

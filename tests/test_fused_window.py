@@ -528,3 +528,107 @@ def test_fused_window_bypass_logging(capsys):
         assert "divisibility" in err
     finally:
         logmod.set_debug_level(old)
+
+
+# ---------------------------------------------------------------------------
+# prox-seeded orchestration (r05): render_rays_guided_prox
+
+
+def _terrain_world():
+    from raytracing_test_tpu.config import WorldConfig
+    from raytracing_test_tpu.worldgen import terrain
+    from raytracing_test_tpu.kernels import fused_march as fm
+
+    wcfg = WorldConfig(width=48, length=48, grid_shape=(64, 64, 64))
+    grid, pal = terrain.gen_world_grid(wcfg)
+    scene = flatten.scene_from_grid(grid, pal)
+    albedo, _, _ = flatten.palette_arrays(pal)
+    dscene = diff.diff_scene_from_grid(grid, albedo, solid_density=50.0)
+    ft = fm.tables_for_scene(scene)
+    return scene, dscene, ft
+
+
+def test_prox_seed_is_conservative():
+    """The prox seed (surface-brick ENTRY - margin) never exceeds the
+    exact-hit seed's surface distance, and agrees on sky rays."""
+    from raytracing_test_tpu.kernels import fused_march as fm
+
+    scene, dscene, ft = _terrain_world()
+    cam = Camera(
+        pos=jnp.asarray([24.0, 50.0, 10.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.75, 0.55], jnp.float32),
+    )
+    H, W = 16, 32
+    dirs = ray_directions(cam, W, H)
+    sp = np.asarray(jax.jit(lambda: fm.seed_depth_fused(
+        scene, ft, cam.pos, dirs, (H, W), margin=0.0, prox=True,
+        interpret=True, max_steps=96))())
+    se = np.asarray(jax.jit(lambda: fm.seed_depth_fused(
+        scene, ft, cam.pos, dirs, (H, W), margin=0.0, prox=False,
+        interpret=True, max_steps=96))())
+    sky_p, sky_e = sp >= 9.9e5, se >= 9.9e5
+    np.testing.assert_array_equal(sky_p, sky_e)
+    hit = ~sky_p
+    assert hit.any()
+    assert (sp[hit] <= se[hit] + 1e-4).all()
+
+
+def test_guided_prox_matches_exact_pipeline():
+    """Prox seed + fused window + exact patch-up reproduces the exact-seed
+    anchor pipeline on a hard field (rgb and field gradients); the patch
+    path must actually fire."""
+    scene, dscene, ft = _terrain_world()
+    # oblique camera: grazing rays -> first-surface-brick misses -> patches
+    cam = Camera(
+        pos=jnp.asarray([10.0, 34.0, 10.0], jnp.float32),
+        dir=jnp.asarray([0.8, -0.12, 0.55], jnp.float32),
+    )
+    H, W = 16, 32
+    dirs = ray_directions(cam, W, H)
+
+    got, aux = jax.jit(lambda s: diff.render_rays_guided_prox(
+        s, scene, ft, cam.pos, dirs, (H, W), num_steps=24, margin=0.5,
+        interpret=True, return_aux=True))(dscene)
+    assert int(aux["n_need"]) > 0  # the patch must be exercised
+    assert not bool(aux["grads_dropped"])
+
+    # exact-seed anchor: guided scatter with the same margin contract
+    ref = np.asarray(jax.jit(lambda s: diff.render_rays_diff_guided(
+        s, scene, cam.pos, dirs, num_steps=24, sky=False,
+        image_hw=(H, W), accum="scatter"))(dscene))
+    got = np.asarray(got)
+    # saturated-window tail truncation is bounded by sat_eps (1e-3)
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    g_got = _grads(
+        lambda s: diff.render_rays_guided_prox(
+            s, scene, ft, cam.pos, dirs, (H, W), num_steps=24, margin=0.5,
+            interpret=True),
+        dscene,
+    )
+    g_ref = _grads(
+        lambda s: diff.render_rays_diff_guided(
+            s, scene, cam.pos, dirs, num_steps=24, sky=False,
+            image_hw=(H, W), accum="scatter"),
+        dscene,
+    )
+    _assert_grads_close(g_got, g_ref, 5e-3, "prox")
+
+
+def test_guided_prox_overflow_observable():
+    """Misses beyond the patch budget keep kernel values and raise
+    aux['grads_dropped'] (the escape-observability contract)."""
+    scene, dscene, ft = _terrain_world()
+    cam = Camera(
+        pos=jnp.asarray([24.0, 50.0, 10.0], jnp.float32),
+        dir=jnp.asarray([0.3, -0.75, 0.55], jnp.float32),
+    )
+    H, W = 16, 32
+    dirs = ray_directions(cam, W, H)
+    # sat_eps=-1: every non-sky ray is flagged as needing a patch -> the
+    # 8-lane-granular budget (min 128 rays) must overflow at 512 rays
+    _, aux = jax.jit(lambda s: diff.render_rays_guided_prox(
+        s, scene, ft, cam.pos, dirs, (H, W), num_steps=24, margin=0.5,
+        sat_eps=-1.0, interpret=True, return_aux=True))(dscene)
+    assert int(aux["n_need"]) > int(aux["patch_capacity"])
+    assert bool(aux["grads_dropped"])
