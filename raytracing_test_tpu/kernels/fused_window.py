@@ -625,7 +625,7 @@ def _make_window_op(shape3, S, interpret, shading):
     ]
     plane_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     def fwd_call(field4, org, sunv, *planes):
         G = planes[0].shape[0] // _ROWS
